@@ -1,0 +1,265 @@
+"""Render configuration and camera constants.
+
+TPU-native equivalent of the reference's *compile-time* configuration:
+
+* resolution presets and env overrides   (ref: src/lib.rs:30-71)
+* scene coordinate system + camera focus (ref: src/lib.rs:73-92)
+* the 19 cargo feature flags             (ref: Cargo.toml:62-83)
+* quality-tier derived constants         (ref: src/renderer/raytracer_renderer.rs:55-93)
+
+Instead of `cfg!(feature = ...)` the flags live in a frozen, hashable
+dataclass that is passed as a *static* argument to `jax.jit`: every flag
+combination specializes into its own fused XLA program, which is the direct
+analogue of the reference compiling a distinct binary per feature set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+# IoR of air (ref: src/lib.rs:92)
+DEFAULT_REFRACTION_INDEX: float = 1.000293
+
+# Resolution presets (ref: src/lib.rs:30-48)
+RESOLUTION_SMALL: Tuple[int, int] = (768, 640)
+RESOLUTION_MEDIUM: Tuple[int, int] = (1140, 950)
+RESOLUTION_HIGH: Tuple[int, int] = (1620, 1350)
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraSpec:
+    """Scene coordinate system derived from the window size.
+
+    Mirrors the const-eval camera model of ref src/lib.rs:73-92: the scene is
+    1.0 wide, `aspect` tall, and `(w+h)/2` window-pixels deep; primary rays
+    fan out from a focus point 1.9 scene-depths behind the image plane.
+    """
+
+    width: int
+    height: int
+
+    @property
+    def aspect(self) -> float:
+        return float(self.height) / float(self.width)
+
+    @property
+    def scene_width(self) -> float:
+        return 1.0
+
+    @property
+    def scene_height(self) -> float:
+        return self.scene_width * self.aspect
+
+    @property
+    def scene_depth(self) -> float:
+        return (self.scene_width + self.scene_height) / 2.0
+
+    @property
+    def average_scene_dimension(self) -> float:
+        return (self.scene_width + self.scene_height + self.scene_depth) / 3.0
+
+    @property
+    def window_scene_depth(self) -> int:
+        # ref: src/lib.rs:74
+        return (self.width + self.height) // 2
+
+    @property
+    def w2s_width(self) -> float:
+        return self.scene_width / float(self.width)
+
+    @property
+    def w2s_height(self) -> float:
+        return self.scene_height / float(self.height)
+
+    @property
+    def w2s_depth(self) -> float:
+        return self.scene_depth / float(self.window_scene_depth)
+
+    @property
+    def average_scene_factor(self) -> float:
+        return (self.w2s_width + self.w2s_height + self.w2s_depth) / 3.0
+
+    @property
+    def render_ray_focus(self) -> Tuple[float, float, float]:
+        # ref: src/lib.rs:88-89
+        return (
+            self.scene_width / 2.0,
+            self.scene_height / 2.0,
+            -1.9 * self.scene_depth,
+        )
+
+    @property
+    def epsilon_distance(self) -> float:
+        # ref: src/vector.rs:697-699 — f32::EPSILON * 100 * AVERAGE_SCENE_DIMENSION
+        return float(2.0**-23) * 100.0 * self.average_scene_dimension
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Feature flags + engine knobs. Hashable; used as a jit-static argument.
+
+    Flag semantics mirror ref Cargo.toml:62-83; derived quality constants
+    mirror ref src/renderer/raytracer_renderer.rs:55-93.
+    """
+
+    width: int = RESOLUTION_MEDIUM[0]
+    height: int = RESOLUTION_MEDIUM[1]
+
+    # feature flags (ref Cargo.toml:62-83)
+    anti_aliasing: bool = False
+    anti_aliasing_rotation_scale: bool = False
+    anti_aliasing_randomness: bool = False
+    soft_shadows: bool = False
+    reflections: bool = False
+    light_reflections: bool = False  # declared in the reference, never consulted
+    refractions: bool = False
+    backface_culling: bool = False  # runtime dot<0.75 cull quirk
+    scene_backface_culling: bool = False  # static host-side cull
+    high_quality: bool = False
+    extreme_quality: bool = False
+    high_quality_model: bool = False
+
+    # determinism: the reference draws fresh Poisson jitter per process (AA)
+    # and per *pixel* (light clouds); we precompute deterministically.
+    seed: int = 0
+
+    # engine knobs (TPU-side; no reference equivalent)
+    tile_rays: int = 8192  # rays per traced batch
+    stack_size: int = 24  # wavefront DFS stack slots (>= max depth + 1)
+    max_nodes: int = 96  # shading-tree nodes evaluated per ray, upper bound
+    weight_cutoff: float = 1e-4  # prune children with weight below this
+    triangle_block: int = 512  # triangles per matmul block
+    interpret: bool = False  # pallas interpreter mode (CPU tests)
+    use_pallas: bool = False  # use pallas kernels where available
+
+    def __post_init__(self):
+        if self.anti_aliasing_rotation_scale or self.anti_aliasing_randomness:
+            object.__setattr__(self, "anti_aliasing", True)
+        if self.extreme_quality:
+            object.__setattr__(self, "high_quality", True)
+        if self.high_quality:
+            object.__setattr__(self, "anti_aliasing", True)
+            object.__setattr__(self, "soft_shadows", True)
+            object.__setattr__(self, "high_quality_model", True)
+
+    # ---- derived quality constants ----
+
+    @property
+    def camera(self) -> CameraSpec:
+        return CameraSpec(self.width, self.height)
+
+    @property
+    def reflection_max_depth(self) -> int:
+        # ref: raytracer_renderer.rs:55-63
+        if self.high_quality:
+            return 21 if self.extreme_quality else 13
+        return 9
+
+    @property
+    def refraction_max_depth(self) -> int:
+        # ref: raytracer_renderer.rs:65-73
+        if self.high_quality:
+            return 21 if self.extreme_quality else 18
+        return 8
+
+    @property
+    def point_light_multiplicator(self) -> int:
+        # ref: raytracer_renderer.rs:75-87
+        if not self.soft_shadows:
+            return 1
+        if self.high_quality:
+            return 28 if self.extreme_quality else 19
+        return 10
+
+    @property
+    def antialiasing_samples_per_pixel(self) -> int:
+        # ref: raytracer_renderer.rs:89-93
+        return 24 if self.extreme_quality else 9
+
+    @property
+    def total_aa_rays(self) -> int:
+        # next multiple of the 8-wide packet (ref: raytracer_renderer.rs:1018-1020)
+        n = self.antialiasing_samples_per_pixel
+        return ((n + 7) // 8) * 8
+
+    @property
+    def realistic(self) -> bool:
+        return self.reflections and self.refractions
+
+    # ---- preset constructors (BASELINE.json "configs") ----
+
+    @classmethod
+    def default_scene(cls, width=None, height=None, **kw) -> "RenderConfig":
+        """primary rays + Blinn-Phong + hard shadows (plain `cargo run`
+        with default-features disabled)."""
+        w, h = width or RESOLUTION_SMALL[0], height or RESOLUTION_SMALL[1]
+        return cls(width=w, height=h, **kw)
+
+    @classmethod
+    def reference_default(cls, width=None, height=None, **kw) -> "RenderConfig":
+        """The reference's `default` cargo feature set (ref Cargo.toml:64):
+        realistic + scene_backface_culling + AA(rotation+randomness)
+        + medium_resolution + high_quality."""
+        w, h = width or RESOLUTION_MEDIUM[0], height or RESOLUTION_MEDIUM[1]
+        return cls(
+            width=w,
+            height=h,
+            reflections=True,
+            light_reflections=True,
+            refractions=True,
+            scene_backface_culling=True,
+            anti_aliasing_rotation_scale=True,
+            anti_aliasing_randomness=True,
+            high_quality=True,
+            **kw,
+        )
+
+    @classmethod
+    def realistic_scene(cls, width=None, height=None, **kw) -> "RenderConfig":
+        """reflections + light_reflections + refractions, hard shadows."""
+        w, h = width or RESOLUTION_SMALL[0], height or RESOLUTION_SMALL[1]
+        return cls(
+            width=w,
+            height=h,
+            reflections=True,
+            light_reflections=True,
+            refractions=True,
+            **kw,
+        )
+
+    def feature_string(self) -> str:
+        """Config banner (ref: src/output/mod.rs:25-88)."""
+        aa = "Non-Antialiasing"
+        if self.anti_aliasing:
+            parts = ["Antialiasing"]
+            if self.anti_aliasing_rotation_scale:
+                parts.append("ROS_SCL")
+            if self.anti_aliasing_randomness:
+                parts.append("RNG")
+            aa = " ".join(parts)
+        if self.reflections or self.refractions:
+            real = "Reflections + Refractions" if self.refractions else "Reflections"
+        else:
+            real = "Non-Realistic"
+        if self.high_quality:
+            quality = "Extreme Quality" if self.extreme_quality else "High Quality"
+        else:
+            quality = "Standard Quality"
+        if (self.width, self.height) == RESOLUTION_HIGH:
+            res = "High Resolution"
+        elif (self.width, self.height) == RESOLUTION_MEDIUM:
+            res = "Medium Resolution"
+        else:
+            res = "Small Resolution"
+        cam = self.camera
+        return " | ".join(
+            [
+                "SIMD",
+                aa,
+                real,
+                f"{quality} ({self.width}×{self.height}×{cam.window_scene_depth})",
+                "Backface Culling" if self.backface_culling else "NO-OPT",
+            ]
+        )

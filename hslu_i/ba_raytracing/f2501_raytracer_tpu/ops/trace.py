@@ -1,0 +1,259 @@
+"""Wavefront Whitted tracing: the reference's recursion tree as a masked loop.
+
+The reference recursively branches into a reflection subtree and a refraction
+subtree per hit, offloading top-level secondary rays to spawned threads
+(ref raytracer_renderer.rs:147-264, 279-524, 526-729). On TPU that tree is
+flattened into an iterative DFS over a fixed-size per-ray stack: every stack
+entry is a pending ray with an accumulated *weight* (the product of Fresnel
+reflectances / transmittances / boosts along its path), so contributions are
+linear and can be summed into the framebuffer in any order.
+
+Depth-budget semantics copied exactly (they shape the image):
+* budget -1 encodes the reference's `None` (top level); the first reflection
+  child then gets RAYTRACE_REFLECTION_MAX_DEPTH, the first refraction child
+  RAYTRACE_REFRACTION_MAX_DEPTH / depth_factor  (raytracer_renderer.rs:364-375,
+  684-695)
+* refraction depth budgets shrink adaptively with opacity: step 2 below 0.5,
+  initial divisor 3 below 0.3 / 2 below 0.5     (raytracer_renderer.rs:458-491,
+  evaluated per ray like the reference's scalar path)
+* a child whose budget reaches 0 is never spawned (it would return None at
+  entry, raytracer_renderer.rs:174-178)
+* the combine rule: transmissive surfaces drop direct light, keeping
+  reflection+refraction+specular              (raytracer_renderer.rs:251-257)
+* reflection contributions are attenuated by the *child's* first-hit distance
+  (raytracer_renderer.rs:711-728) — tracked via the `from_refl` flag
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_REFRACTION_INDEX, RenderConfig
+from ..scene.device import DeviceScene
+from .intersect import cast_rays
+from .shading import (
+    attenuation_factor_based_on_distance,
+    calculate_lighting,
+    compute_fresnel,
+)
+from .vecmath import dot, normalized, reflected, refracted
+
+AIR = jnp.float32(DEFAULT_REFRACTION_INDEX)
+
+
+def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, from_refl, active):
+    """Evaluate one shading-tree node for the whole wavefront.
+
+    Returns (contribution (R,3), primary_hit_valid (R,), refl_push, refr_push)
+    where each push is a dict of per-ray child-entry fields + a `mask`.
+    """
+    hit = cast_rays(scene, o, d, cfg.backface_culling)
+    hval = hit.valid & active
+    hit = dataclasses.replace(hit, valid=hval)
+
+    direct, spec = calculate_lighting(scene, cfg, hit, d, eps_dist)
+
+    dist_f = attenuation_factor_based_on_distance(hit.t)
+    dist_f = jnp.where(hval, dist_f, 0.0)
+    direct = direct * dist_f[:, None]
+    spec = spec * dist_f[:, None]
+
+    w = weight * jnp.where(from_refl, dist_f, 1.0)[:, None]
+
+    node_color = jnp.where(hit.has_trans[:, None], 0.0, direct) + spec
+    contrib = jnp.where(hval[:, None], w * node_color, 0.0)
+
+    cos_theta = dot(d, hit.normal)
+
+    # ---- reflection child (raytracer_renderer.rs:526-729) ----
+    refl_push = None
+    if cfg.reflections:
+        is_inside = cos_theta < 0.0
+        inormal = jnp.where(is_inside[:, None], -hit.normal, hit.normal)
+        new_ior = jnp.where(is_inside, hit.ior, AIR)
+        eta = jnp.where(is_inside, new_ior / ior, ior / new_ior)
+        cos_i = jnp.abs(cos_theta)
+        sin2_t = eta * eta * (1.0 - cos_i * cos_i)
+        tir = sin2_t >= 1.0
+        reflective = (hit.metallic > 0.0) | (hit.has_trans & tir)
+
+        refl_dir = normalized(reflected(d, hit.normal))
+        reflectance, _ = compute_fresnel(
+            inormal, -d, ior, hit.color, hit.metallic, hit.ior, hit.has_trans
+        )
+        child_budget = jnp.where(
+            budget < 0, cfg.reflection_max_depth, jnp.maximum(budget - 1, 0)
+        ).astype(jnp.int32)
+        refl_w = w * reflectance
+        mask = hval & reflective & (child_budget > 0)
+        if cfg.weight_cutoff > 0.0:
+            mask &= jnp.max(refl_w, axis=1) > cfg.weight_cutoff
+        refl_push = dict(
+            o=hit.point + refl_dir * eps_dist,
+            d=refl_dir,
+            ior=ior,  # reflection keeps the current medium (rs:703)
+            w=refl_w,
+            budget=child_budget,
+            from_refl=jnp.ones_like(mask),
+            mask=mask,
+        )
+
+    # ---- refraction child (raytracer_renderer.rs:279-524) ----
+    refr_push = None
+    if cfg.refractions:
+        is_inside = cos_theta <= 0.0
+        inormal = jnp.where(is_inside[:, None], -hit.normal, hit.normal)
+        new_ior = jnp.where(is_inside, hit.ior, AIR)
+        eta = jnp.where(is_inside, new_ior / ior, ior / new_ior)
+        inv_eta = 1.0 / eta
+        _, transmittance = compute_fresnel(
+            inormal, d, inv_eta, hit.color, hit.metallic, hit.ior, hit.has_trans
+        )
+        refr_raw, k_pos = refracted(d, -inormal, inv_eta)
+        refr_dir = jnp.where(k_pos[:, None], normalized(refr_raw), 0.0)
+
+        op = jnp.where(hit.has_trans, hit.opacity, 0.0)
+        step = jnp.where(op < 0.5, 2, 1)
+        divisor = jnp.where(op <= 0.3, 3, jnp.where(op < 0.5, 2, 1))
+        child_budget = jnp.where(
+            budget < 0,
+            cfg.refraction_max_depth // divisor,
+            jnp.maximum(budget - step, 0),
+        ).astype(jnp.int32)
+        boost = jnp.where(hit.has_trans, hit.boost, 0.0) + 1.0
+        refr_w = w * transmittance * boost[:, None]
+        mask = hval & hit.has_trans & (child_budget > 0) & k_pos
+        if cfg.weight_cutoff > 0.0:
+            mask &= jnp.max(refr_w, axis=1) > cfg.weight_cutoff
+        refr_push = dict(
+            o=hit.point + refr_dir * eps_dist,
+            d=refr_dir,
+            ior=new_ior,  # entering the new medium (rs:497)
+            w=refr_w,
+            budget=child_budget,
+            from_refl=jnp.zeros_like(mask),
+            mask=mask,
+        )
+
+    return contrib, hval, refl_push, refr_push
+
+
+def _push(state, entry):
+    """Masked per-ray stack push (one-hot over the slot axis)."""
+    if entry is None:
+        return state
+    sp = state["sp"]
+    K = state["st_o"].shape[0]
+    mask = entry["mask"] & (sp < K)
+    slot = jnp.arange(K, dtype=jnp.int32)[:, None] == sp[None, :]  # (K,R)
+    write = slot & mask[None, :]
+    state = dict(state)
+    state["st_o"] = jnp.where(write[..., None], entry["o"][None], state["st_o"])
+    state["st_d"] = jnp.where(write[..., None], entry["d"][None], state["st_d"])
+    state["st_w"] = jnp.where(write[..., None], entry["w"][None], state["st_w"])
+    state["st_ior"] = jnp.where(write, entry["ior"][None], state["st_ior"])
+    state["st_budget"] = jnp.where(write, entry["budget"][None], state["st_budget"])
+    state["st_refl"] = jnp.where(write, entry["from_refl"][None], state["st_refl"])
+    state["sp"] = sp + mask.astype(jnp.int32)
+    return state
+
+
+def _pop(state):
+    sp = state["sp"]
+    active = sp > 0
+    idx = jnp.maximum(sp - 1, 0)[None, :]  # (1,R)
+
+    def take(arr, vec):
+        i = idx[..., None] if vec else idx
+        return jnp.take_along_axis(arr, i, axis=0)[0]
+
+    entry = dict(
+        o=take(state["st_o"], True),
+        d=take(state["st_d"], True),
+        w=take(state["st_w"], True),
+        ior=take(state["st_ior"], False),
+        budget=take(state["st_budget"], False),
+        from_refl=take(state["st_refl"], False),
+    )
+    state = dict(state)
+    state["sp"] = jnp.where(active, sp - 1, 0)
+    return state, entry, active
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions):
+    """Trace R rays to final linear-RGB colors.
+
+    `directions` need not be normalized (Ray::new normalizes, ray.rs:54).
+    Returns (color (R,3), valid (R,)) — `valid` is the primary-hit mask; the
+    caller leaves the framebuffer untouched where it is False
+    (ref raytracer_renderer.rs:1183-1187).
+    """
+    R = origins.shape[0]
+    eps_dist = jnp.float32(cfg.camera.epsilon_distance)
+    d0 = normalized(directions)
+
+    # primary node: budget None (-1), weight 1, current medium = air
+    contrib, top_valid, refl_push, refr_push = _eval_node(
+        scene,
+        cfg,
+        eps_dist,
+        origins,
+        d0,
+        jnp.full((R,), AIR),
+        jnp.ones((R, 3), jnp.float32),
+        jnp.full((R,), -1, jnp.int32),
+        jnp.zeros((R,), bool),
+        jnp.ones((R,), bool),
+    )
+
+    K = cfg.stack_size
+    state = dict(
+        sp=jnp.zeros((R,), jnp.int32),
+        st_o=jnp.zeros((K, R, 3), jnp.float32),
+        st_d=jnp.zeros((K, R, 3), jnp.float32),
+        st_w=jnp.zeros((K, R, 3), jnp.float32),
+        st_ior=jnp.ones((K, R), jnp.float32),
+        st_budget=jnp.zeros((K, R), jnp.int32),
+        st_refl=jnp.zeros((K, R), bool),
+        accum=contrib,
+        it=jnp.int32(0),
+    )
+    # refraction pushed first so reflection pops first (the reference
+    # evaluates the reflection subtree before the refraction subtree)
+    state = _push(state, refr_push)
+    state = _push(state, refl_push)
+
+    if cfg.reflections or cfg.refractions:
+
+        def cond(s):
+            return (s["it"] < cfg.max_nodes) & jnp.any(s["sp"] > 0)
+
+        def body(s):
+            s, e, active = _pop(s)
+            contrib, _, refl_p, refr_p = _eval_node(
+                scene,
+                cfg,
+                eps_dist,
+                e["o"],
+                e["d"],
+                e["ior"],
+                e["w"],
+                e["budget"],
+                e["from_refl"],
+                active,
+            )
+            s = dict(s)
+            s["accum"] = s["accum"] + contrib
+            s["it"] = s["it"] + 1
+            s = _push(s, refr_p)
+            s = _push(s, refl_p)
+            return s
+
+        state = jax.lax.while_loop(cond, body, state)
+
+    return state["accum"], top_valid

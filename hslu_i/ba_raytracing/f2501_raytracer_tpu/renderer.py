@@ -1,0 +1,105 @@
+"""Top-level renderer: tiling, AA sample expansion, host assembly.
+
+The analogue of the reference's `RaytracerRenderer` + `Renderer` trait
+(ref renderer/raytracer_renderer.rs:1140-1379, renderer/mod.rs:80-210): the
+reference chops the image into cache-line/SIMD-aligned RENDER_STRIDE tiles
+and feeds them to rayon workers; here the image is chopped into ray
+wavefronts sized for the TPU (`cfg.tile_rays`) and each wavefront runs one
+jitted trace. Finished tiles are committed to the host framebuffer as they
+arrive, so partial renders stay observable (the reference's producer/consumer
+window behaviour).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from .config import RenderConfig
+from .framebuffer import ImageBuffer
+from .ops.camera import antialiasing_offsets, pixel_scene_coords
+from .ops.trace import trace_rays
+from .scene.builder import Scene
+from .scene.device import DeviceScene, build_device_scene
+from .utils.timing import RenderTiming
+
+
+class RaytracerRenderer:
+    def __init__(self, cfg: RenderConfig):
+        self.cfg = cfg
+
+    def render(
+        self,
+        scene: Scene,
+        progress: Optional[Callable[[ImageBuffer, float], None]] = None,
+    ) -> ImageBuffer:
+        if self.cfg.scene_backface_culling:
+            scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
+        dscene = build_device_scene(scene, self.cfg)
+        return self.render_device(dscene, progress)
+
+    def render_device(
+        self,
+        dscene: DeviceScene,
+        progress: Optional[Callable[[ImageBuffer, float], None]] = None,
+    ) -> ImageBuffer:
+        cfg = self.cfg
+        H, W = cfg.height, cfg.width
+        cam = cfg.camera
+        timing = RenderTiming()
+
+        aa = cfg.total_aa_rays if cfg.anti_aliasing else 1
+        offsets = (
+            antialiasing_offsets(cfg)
+            if cfg.anti_aliasing
+            else np.zeros((1, 3), np.float32)
+        )
+
+        pix_per_tile = max(cfg.tile_rays // aa, 1)
+        total_pixels = H * W
+
+        px, py = np.meshgrid(np.arange(W), np.arange(H))
+        px, py = px.reshape(-1), py.reshape(-1)
+
+        buf = ImageBuffer(W, H)
+        flat_color = buf.color.reshape(-1, 3)
+        flat_valid = buf.valid.reshape(-1)
+        focus = np.asarray(cam.render_ray_focus, np.float32)
+
+        for start in range(0, total_pixels, pix_per_tile):
+            end = min(start + pix_per_tile, total_pixels)
+            n = end - start
+            coords = pixel_scene_coords(cfg, px[start:end], py[start:end])  # (n,3)
+            dirs = coords - focus[None, :]
+            origins = coords[:, None, :] + offsets[None, :, :]  # (n,aa,3)
+            dirs_rep = np.broadcast_to(dirs[:, None, :], (n, aa, 3))
+
+            o = origins.reshape(-1, 3)
+            d = dirs_rep.reshape(-1, 3).copy()
+            if n < pix_per_tile:  # pad for a stable jit shape
+                pad = (pix_per_tile - n) * aa
+                o = np.concatenate([o, np.zeros((pad, 3), np.float32)])
+                d = np.concatenate([d, np.tile(np.float32([0, 0, 1]), (pad, 1))])
+
+            color, valid = trace_rays(dscene, cfg, jax.numpy.asarray(o), jax.numpy.asarray(d))
+            color = np.asarray(color)[: n * aa].reshape(n, aa, 3)
+            valid = np.asarray(valid)[: n * aa].reshape(n, aa)
+
+            # AA average: every sample contributes color/total (misses add
+            # black); pixel is written iff any sample hit
+            # (ref raytracer_renderer.rs:918-1016)
+            tile_color = np.where(valid[..., None], color, 0.0).sum(axis=1) / np.float32(aa)
+            tile_valid = valid.any(axis=1)
+
+            flat_color[start:end][tile_valid] = tile_color[tile_valid]
+            flat_valid[start:end] |= tile_valid
+
+            if progress is not None:
+                timing.next()
+                progress(buf, end / total_pixels)
+
+        timing.next()
+        buf.timing = timing
+        return buf

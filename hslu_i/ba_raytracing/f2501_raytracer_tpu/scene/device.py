@@ -1,0 +1,199 @@
+"""Device scene: SoA arrays in HBM + MXU-friendly triangle precompute.
+
+This replaces the reference's `GeometryCollection` + per-ray `splat`
+machinery (ref render_geometry.rs:99-155, helpers.rs Splatable): instead of
+broadcasting one object across 8 SIMD lanes, every object lives in a dense
+array and whole wavefronts of rays are tested against object blocks at once.
+
+Triangles are stored as Woop unit-triangle transforms: for triangle
+(v1, e1, e2) with geometric normal ñ = e1×e2, A = inv([e1 e2 ñ]) and
+b = -A·v1 map a world point p to barycentric coordinates (u, v, w) with w the
+ñ-scaled offset from the plane. A ray (o, d) then intersects at
+t = -w_o / w_d,  u = u_o + t·u_d,  v = v_o + t·v_d — and (u,v,w)_o / (u,v,w)_d
+for *all* triangles are two matmuls `[o|1] @ W4` / `d @ W3`, which run on the
+MXU instead of the VPU. The t/u/v math is identical to the reference's
+Cramer 3×3 solve (ref triangle.rs:170-198) up to f32 rounding, and the
+reference's determinant test |det([d,-e1,-e2])| = |d·ñ| = |w_d·ñ·ñ| is
+recovered from w_d and the precomputed |ñ|².
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..materials import F32_EPSILON, Material
+from .builder import Scene, SphereData, TriangleData
+from .lighting import preprocess_lights
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceScene:
+    """SoA scene arrays. Object index space: [0, S) spheres, [S, S+T) triangles."""
+
+    # spheres
+    sph_center: jax.Array  # (S, 3)
+    sph_r_sq: jax.Array  # (S,)
+    sph_valid: jax.Array  # (S,) bool
+
+    # triangles (blocked for the matmul scan)
+    tri_woop4: jax.Array  # (nb, 4, 3*B) — rows: x,y,z,1-row (A^T | b)
+    tri_nsq: jax.Array  # (nb, B) |ñ|^2
+    tri_normal: jax.Array  # (nb, B, 3) shading normal (possibly non-unit)
+    tri_valid: jax.Array  # (nb, B) bool
+
+    # per-object materials, global index space (S + nb*B entries)
+    mat_color: jax.Array  # (N, 3)
+    mat_metallic: jax.Array  # (N,)
+    mat_shininess: jax.Array  # (N,)
+    mat_ior: jax.Array  # (N,)
+    mat_opacity: jax.Array  # (N,) value (0 where unset)
+    mat_has_trans: jax.Array  # (N,) bool — TransmissionProperties::mask()
+    mat_boost: jax.Array  # (N,)
+    mat_absorption: jax.Array  # (N, 3) — precomputed Material::absorption()
+    obj_normal: jax.Array  # (N, 3) — triangle shading normal, zeros for spheres
+
+    # flattened lights (soft-shadow cloud already expanded)
+    light_pos: jax.Array  # (L, 3)
+    light_color: jax.Array  # (L, 3)
+    light_intensity: jax.Array  # (L,)
+
+    # static metadata
+    n_spheres: int = dataclasses.field(metadata=dict(static=True))
+    n_triangles: int = dataclasses.field(metadata=dict(static=True))
+    tri_block: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def sphere_slots(self) -> int:
+        return self.sph_center.shape[0]
+
+    @property
+    def triangle_blocks(self) -> int:
+        return self.tri_woop4.shape[0]
+
+
+def build_device_scene(scene: Scene, cfg: RenderConfig) -> DeviceScene:
+    spheres: List[SphereData] = scene.scene_objects.spheres
+    triangles: List[TriangleData] = scene.scene_objects.triangles
+    S, T = len(spheres), len(triangles)
+
+    S_pad = max(_round_up(S, 8), 8)
+    B = min(cfg.triangle_block, max(_round_up(T, 128), 128))
+    T_pad = max(_round_up(T, B), B)
+    nb = T_pad // B
+    N = S_pad + T_pad
+
+    sph_center = np.zeros((S_pad, 3), np.float32)
+    sph_r_sq = np.ones((S_pad,), np.float32)
+    sph_valid = np.zeros((S_pad,), bool)
+    for i, s in enumerate(spheres):
+        sph_center[i] = s.center
+        sph_r_sq[i] = s.r_sq
+        sph_valid[i] = True
+    # park padded spheres far away so even unmasked math stays finite
+    sph_center[S:] = 1e8
+
+    woop4 = np.zeros((T_pad, 4, 3), np.float32)
+    nsq = np.ones((T_pad,), np.float32)
+    tnormal = np.zeros((T_pad, 3), np.float32)
+    tvalid = np.zeros((T_pad,), bool)
+    # padded triangles: identity transform far away -> t large, masked anyway
+    woop4[:, 0, 0] = 1.0
+    woop4[:, 1, 1] = 1.0
+    woop4[:, 2, 2] = 1.0
+    woop4[:, 3, :] = (0.0, 0.0, 1e8)
+
+    for i, t in enumerate(triangles):
+        e1 = (t.vertex2 - t.vertex1).astype(np.float64)
+        e2 = (t.vertex3 - t.vertex1).astype(np.float64)
+        ng = np.cross(e1, e2)
+        n2 = float(np.dot(ng, ng))
+        M = np.stack([e1, e2, ng], axis=1)  # columns
+        try:
+            A = np.linalg.inv(M)
+        except np.linalg.LinAlgError:
+            continue  # degenerate triangle: never hit (reference: det==0 -> invalid)
+        b = -A @ t.vertex1.astype(np.float64)
+        woop4[i, :3, :] = A.T.astype(np.float32)  # (3in, 3out)
+        woop4[i, 3, :] = b.astype(np.float32)
+        nsq[i] = np.float32(n2)
+        tnormal[i] = t.normal
+        tvalid[i] = True
+
+    mat_color = np.zeros((N, 3), np.float32)
+    mat_metallic = np.zeros((N,), np.float32)
+    mat_shininess = np.zeros((N,), np.float32)
+    mat_ior = np.ones((N,), np.float32)
+    mat_opacity = np.zeros((N,), np.float32)
+    mat_has_trans = np.zeros((N,), bool)
+    mat_boost = np.zeros((N,), np.float32)
+    mat_absorption = np.zeros((N, 3), np.float32)
+    obj_normal = np.zeros((N, 3), np.float32)
+
+    def fill_mat(idx: int, m: Material):
+        mat_color[idx] = m.color
+        mat_metallic[idx] = m.metallic
+        mat_shininess[idx] = m.shininess
+        mat_ior[idx] = m.transmission.refraction_index
+        mat_opacity[idx] = m.transmission.opacity if m.transmission.opacity is not None else 0.0
+        mat_has_trans[idx] = m.transmission.mask
+        mat_boost[idx] = m.transmission.boost
+        mat_absorption[idx] = m.absorption()
+
+    for i, s in enumerate(spheres):
+        fill_mat(i, s.material)
+    for i, t in enumerate(triangles):
+        fill_mat(S_pad + i, t.material)
+        obj_normal[S_pad + i] = t.normal
+
+    cam = cfg.camera
+    lp, lc, li = preprocess_lights(
+        scene.scene_lights, cfg.point_light_multiplicator, cam, seed=cfg.seed
+    )
+    L = lp.shape[0]
+    L_pad = max(_round_up(max(L, 1), 8), 8)
+    light_pos = np.zeros((L_pad, 3), np.float32)
+    light_color = np.zeros((L_pad, 3), np.float32)
+    light_intensity = np.zeros((L_pad,), np.float32)
+    light_pos[:L] = lp
+    light_color[:L] = lc
+    light_intensity[:L] = li  # zero intensity => no contribution from padding
+
+    return DeviceScene(
+        sph_center=jnp.asarray(sph_center),
+        sph_r_sq=jnp.asarray(sph_r_sq),
+        sph_valid=jnp.asarray(sph_valid),
+        # layout (nb, 4, 3*B) with the 3B columns grouped coordinate-major:
+        # [u-block | v-block | w-block], so (rays @ woop) reshapes to (R,3,B)
+        tri_woop4=jnp.asarray(
+            woop4.reshape(nb, B, 4, 3).transpose(0, 2, 3, 1).reshape(nb, 4, 3 * B)
+        ),
+        tri_nsq=jnp.asarray(nsq.reshape(nb, B)),
+        tri_normal=jnp.asarray(tnormal.reshape(nb, B, 3)),
+        tri_valid=jnp.asarray(tvalid.reshape(nb, B)),
+        mat_color=jnp.asarray(mat_color),
+        mat_metallic=jnp.asarray(mat_metallic),
+        mat_shininess=jnp.asarray(mat_shininess),
+        mat_ior=jnp.asarray(mat_ior),
+        mat_opacity=jnp.asarray(mat_opacity),
+        mat_has_trans=jnp.asarray(mat_has_trans),
+        mat_boost=jnp.asarray(mat_boost),
+        mat_absorption=jnp.asarray(mat_absorption),
+        obj_normal=jnp.asarray(obj_normal),
+        light_pos=jnp.asarray(light_pos),
+        light_color=jnp.asarray(light_color),
+        light_intensity=jnp.asarray(light_intensity),
+        n_spheres=S_pad,
+        n_triangles=T_pad,
+        tri_block=B,
+    )

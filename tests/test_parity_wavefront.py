@@ -1,0 +1,69 @@
+"""Wavefront engine vs scalar oracle: the central correctness gate.
+
+The oracle (tests/oracle.py) transcribes the reference's recursive scalar
+path literally; the engine must reproduce it to f32 tolerance across feature
+combinations. Tolerances are loose enough for f32-vs-f64 and the Woop-vs-
+Cramer triangle formulation, tight enough to catch any structural error."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hslu_i.ba_raytracing.f2501_raytracer_tpu import RaytracerRenderer, RenderConfig
+from oracle import OracleRenderer
+from scenes import mixed_scene, preprocessed_light_tuples
+
+SIZE = dict(width=24, height=20, tile_rays=24 * 20, weight_cutoff=0.0, max_nodes=512)
+
+
+def run_both(cfg):
+    scene = mixed_scene(cfg)
+    lights = preprocessed_light_tuples(scene, cfg)
+    oracle_img, oracle_valid = OracleRenderer(scene, cfg, lights).render()
+    buf = RaytracerRenderer(cfg).render(scene)
+    return oracle_img, oracle_valid, buf.as_linear(), buf.valid
+
+
+def check(cfg, atol=2e-3):
+    o_img, o_valid, e_img, e_valid = run_both(cfg)
+    assert o_valid.sum() > 20, "oracle should hit something"
+    mismatch = o_valid != e_valid
+    assert mismatch.mean() < 0.01, f"validity mismatch on {mismatch.sum()} pixels"
+    both = o_valid & e_valid
+    diff = np.abs(o_img - e_img)[both]
+    # a tiny fraction of pixels may diverge on knife-edge mask decisions
+    frac_bad = (diff.max(axis=-1) > atol).mean()
+    assert frac_bad < 0.02, (
+        f"{frac_bad:.3%} pixels off; max diff {diff.max():.5f}, "
+        f"mean {diff.mean():.6f}"
+    )
+
+
+def test_parity_basic():
+    check(RenderConfig(**SIZE))
+
+
+def test_parity_backface_culling():
+    check(RenderConfig(backface_culling=True, **SIZE))
+
+
+def test_parity_reflections_only():
+    check(RenderConfig(reflections=True, **SIZE))
+
+
+def test_parity_refractions_only():
+    check(RenderConfig(refractions=True, **SIZE))
+
+
+def test_parity_realistic():
+    check(RenderConfig(reflections=True, refractions=True, **SIZE))
+
+
+def test_parity_soft_shadows():
+    # soft_shadows expands every light into a 10-light Poisson cloud; the
+    # engine and oracle share the seeded preprocessing, so results must match
+    cfg = RenderConfig(
+        reflections=True, refractions=True, soft_shadows=True, **SIZE
+    )
+    check(cfg, atol=3e-3)
