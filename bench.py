@@ -1,0 +1,118 @@
+"""Headline benchmark: 1920x1080 semesterbild with `realistic` features
+(reflections + refractions, hard shadows) on one TPU chip.
+
+North star (BASELINE.json): < 100 ms/frame at <= 1e-3 RMSE vs the reference.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline = 100ms / measured_ms (>= 1.0 means the target is met).
+
+Env knobs:
+  BENCH_WIDTH/BENCH_HEIGHT  — override resolution (default 1920x1080)
+  BENCH_REPEATS             — timed repetitions (default 3, best taken)
+  BENCH_SMALL=1             — 240x135 quick sanity run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MS = 100.0  # BASELINE.json north-star frame budget
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu import (
+        RenderConfig,
+        build_device_scene,
+    )
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.models import build
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import pixel_scene_coords
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    width = int(os.environ.get("BENCH_WIDTH", 240 if small else 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 135 if small else 1080))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+
+    cfg = RenderConfig(
+        width=width,
+        height=height,
+        reflections=True,
+        light_reflections=True,
+        refractions=True,
+        scene_backface_culling=True,
+        high_quality_model=False,  # plain `realistic` build => lowres text mesh
+        tile_rays=int(os.environ.get("BENCH_TILE", 65536)),
+        max_nodes=int(os.environ.get("BENCH_MAX_NODES", 48)),
+        weight_cutoff=float(os.environ.get("BENCH_WEIGHT_CUTOFF", 1e-3)),
+    )
+
+    scene = build("semesterbild", cfg)
+    scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
+    dscene = build_device_scene(scene, cfg)
+
+    n_pix = width * height
+    px, py = np.meshgrid(np.arange(width), np.arange(height))
+    coords = pixel_scene_coords(cfg, px.reshape(-1), py.reshape(-1))
+    dirs = (coords - np.asarray(cfg.camera.render_ray_focus, np.float32)).astype(np.float32)
+
+    tile = cfg.tile_rays
+    n_tiles = (n_pix + tile - 1) // tile
+    pad = n_tiles * tile - n_pix
+    if pad:
+        coords = np.concatenate([coords, np.zeros((pad, 3), np.float32)])
+        dirs = np.concatenate([dirs, np.tile(np.float32([0, 0, 1]), (pad, 1))])
+    o_tiles = jnp.asarray(coords.reshape(n_tiles, tile, 3))
+    d_tiles = jnp.asarray(dirs.reshape(n_tiles, tile, 3))
+
+    def frame():
+        outs = []
+        for i in range(n_tiles):
+            outs.append(trace_rays(dscene, cfg, o_tiles[i], d_tiles[i]))
+        jax.block_until_ready(outs)
+        return outs
+
+    # warmup/compile
+    t0 = time.monotonic()
+    outs = frame()
+    compile_s = time.monotonic() - t0
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        frame()
+        best = min(best, time.monotonic() - t0)
+
+    ms = best * 1e3
+    rays_per_s = n_pix / best
+    sys.stderr.write(
+        f"bench: {width}x{height} semesterbild realistic | compile {compile_s:.1f}s | "
+        f"{ms:.1f} ms/frame | {rays_per_s/1e6:.2f} Mprimary-rays/s | "
+        f"triangles={dscene.n_triangles} lights={int(dscene.light_pos.shape[0])}\n"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"{width}x{height} semesterbild realistic frame latency",
+                "value": round(ms, 2),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / ms, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

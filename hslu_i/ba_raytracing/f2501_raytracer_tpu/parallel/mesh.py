@@ -1,0 +1,154 @@
+"""Multi-chip rendering over a `jax.sharding.Mesh`.
+
+The reference's only scale-out axes are SIMD lanes and rayon threads on one
+machine (SURVEY.md §2.2/§2.3 — no distributed backend exists). The TPU-native
+scale-out maps the same two axes onto a device mesh:
+
+* `rays` axis (data parallel): the pixel/ray wavefront is sharded across
+  devices; the scene SoA is replicated; no communication is needed until the
+  final tile gather, which is an `all_gather` over ICI (or simply the
+  sharded->host transfer when only the host needs the frame).
+* `objs` axis (tensor parallel over the scene): triangle blocks are sharded;
+  each device computes its local nearest hit and the global argmin-reduce is
+  an ICI collective (`pmin` on distance, then `pmin` on the indices of
+  distance-winners) — the mesh-level analogue of the reference's lane-masked
+  `SurfaceInteraction::blend` chain (raytracer.rs:190-215).
+
+Shadow/occlusion accumulators (opacity decrement sums, opaque-hit ORs,
+absorption sums — raytracer.rs:43-98) are associative-commutative and would
+`psum`-combine the same way.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..ops.trace import trace_rays
+from ..scene.device import DeviceScene
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "rays") -> Mesh:
+    devs = np.array(jax.devices()[: n_devices or len(jax.devices())])
+    return Mesh(devs, (axis,))
+
+
+def shard_scene(scene: DeviceScene, mesh: Mesh) -> DeviceScene:
+    """Replicate the scene SoA on every device of the mesh."""
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, rep), scene)
+
+
+def render_image_sharded(scene: DeviceScene, cfg: RenderConfig, origins, directions, mesh: Mesh):
+    """One multi-chip render step: rays sharded over the mesh, scene
+    replicated, trace locally, `all_gather` the finished tiles over ICI so
+    every chip holds the frame (SURVEY.md §2.3). R must divide the mesh size
+    (the renderer pads tiles)."""
+    axis = mesh.axis_names[0]
+
+    def local(scene_rep, o_shard, d_shard):
+        color, valid = trace_rays.__wrapped__(scene_rep, cfg, o_shard, d_shard)
+        color = jax.lax.all_gather(color, axis, tiled=True)
+        valid = jax.lax.all_gather(valid, axis, tiled=True)
+        return color, valid
+
+    mapped = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(axis), P(axis)), out_specs=(P(), P()),
+        check_vma=False,  # all_gather(tiled) outputs are replicated
+    )
+    return jax.jit(mapped)(scene, origins, directions)
+
+
+def trace_rays_sharded(scene: DeviceScene, cfg: RenderConfig, origins, directions, mesh: Mesh):
+    """Data-parallel trace with sharded outputs (no gather): the natural mode
+    when the host assembles tiles."""
+    axis = mesh.axis_names[0]
+    ray_sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(
+        lambda scn, o, d: trace_rays.__wrapped__(scn, cfg, o, d),
+        in_shardings=(rep, ray_sh, ray_sh),
+        out_shardings=(ray_sh, ray_sh),
+    )
+    return fn(shard_scene(scene, mesh), origins, directions)
+
+
+def cast_nearest_objsharded(
+    scene: DeviceScene, o, d, mesh: Mesh, backface_culling: bool = False
+):
+    """Tensor-parallel nearest-hit cast: triangle blocks sharded over the
+    mesh axis, rays replicated, global nearest combined with `pmin`
+    collectives. Returns (t (R,), obj_idx (R,), valid (R,)), replicated.
+
+    Demonstrates the scene-sharded axis for scenes too large to replicate;
+    the data-parallel path above is the default for replicable scenes.
+    """
+    from ..ops.intersect import (
+        INF,
+        _backface_mask,
+        _sphere_cos,
+        _sphere_ts,
+        _tri_block_ts,
+    )
+
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    nb = scene.triangle_blocks
+    assert nb % ndev == 0, f"triangle blocks ({nb}) must divide the mesh ({ndev})"
+    S = scene.sphere_slots
+    B = scene.tri_block
+    tri_httr_full = scene.mat_has_trans[S:].reshape(nb, B)
+
+    def local(tri_stack, httr_shard, scene_rep, o_rep, d_rep):
+        woop4s, nsqs, tnorms, tvals = tri_stack
+        local_nb = woop4s.shape[0]
+        shard_i = jax.lax.axis_index(axis)
+        base = S + B * (shard_i * local_nb + jnp.arange(local_nb, dtype=jnp.int32))
+
+        R = o_rep.shape[0]
+        st, s_valid = _sphere_ts(scene_rep, o_rep, d_rep)
+        if backface_culling:
+            cos = _sphere_cos(scene_rep, o_rep, d_rep, jnp.where(s_valid, st, 0.0))
+            s_valid &= _backface_mask(cos, scene_rep.mat_has_trans[None, :S])
+        st = jnp.where(s_valid, st, INF)
+        best_t = jnp.min(st, axis=1)
+        best_idx = jnp.argmin(st, axis=1).astype(jnp.int32)
+
+        o4 = jnp.concatenate([o_rep, jnp.ones((R, 1), o_rep.dtype)], axis=1)
+
+        def body(carry, blk):
+            bt, bi = carry
+            woop4, nsq, tnorm, tval, httr, bs = blk
+            t, valid = _tri_block_ts(woop4, nsq, tval, o4, d_rep)
+            if backface_culling:
+                cos_dn = jnp.dot(d_rep, tnorm.T, preferred_element_type=jnp.float32)
+                valid &= _backface_mask(cos_dn, httr[None, :])
+            t = jnp.where(valid, t, INF)
+            tmin = jnp.min(t, axis=1)
+            targ = jnp.argmin(t, axis=1).astype(jnp.int32)
+            closer = tmin < bt
+            return (jnp.where(closer, tmin, bt), jnp.where(closer, bs + targ, bi)), None
+
+        (t_local, idx_local), _ = jax.lax.scan(
+            body, (best_t, best_idx), (woop4s, nsqs, tnorms, tvals, httr_shard, base)
+        )
+        t_global = jax.lax.pmin(t_local, axis)
+        idx_cand = jnp.where(t_local == t_global, idx_local, jnp.int32(2**31 - 1))
+        idx_global = jax.lax.pmin(idx_cand, axis)
+        return t_global, idx_global, jnp.isfinite(t_global)
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=((P(axis), P(axis), P(axis), P(axis)), P(axis), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,  # pmin outputs are replicated
+    )
+    tri_stack = (scene.tri_woop4, scene.tri_nsq, scene.tri_normal, scene.tri_valid)
+    return jax.jit(mapped)(tri_stack, tri_httr_full, scene, o, d)

@@ -82,7 +82,9 @@ class DeviceScene:
         return self.tri_woop4.shape[0]
 
 
-def build_device_scene(scene: Scene, cfg: RenderConfig) -> DeviceScene:
+def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1) -> DeviceScene:
+    """`min_tri_blocks` pads the triangle-block count up to a multiple (used
+    to shard blocks across a device mesh, parallel/mesh.py)."""
     spheres: List[SphereData] = scene.scene_objects.spheres
     triangles: List[TriangleData] = scene.scene_objects.triangles
     S, T = len(spheres), len(triangles)
@@ -90,7 +92,8 @@ def build_device_scene(scene: Scene, cfg: RenderConfig) -> DeviceScene:
     S_pad = max(_round_up(S, 8), 8)
     B = min(cfg.triangle_block, max(_round_up(T, 128), 128))
     T_pad = max(_round_up(T, B), B)
-    nb = T_pad // B
+    nb = _round_up(T_pad // B, min_tri_blocks)
+    T_pad = nb * B
     N = S_pad + T_pad
 
     sph_center = np.zeros((S_pad, 3), np.float32)
@@ -160,14 +163,15 @@ def build_device_scene(scene: Scene, cfg: RenderConfig) -> DeviceScene:
     lp, lc, li = preprocess_lights(
         scene.scene_lights, cfg.point_light_multiplicator, cam, seed=cfg.seed
     )
-    L = lp.shape[0]
-    L_pad = max(_round_up(max(L, 1), 8), 8)
-    light_pos = np.zeros((L_pad, 3), np.float32)
-    light_color = np.zeros((L_pad, 3), np.float32)
-    light_intensity = np.zeros((L_pad,), np.float32)
-    light_pos[:L] = lp
-    light_color[:L] = lc
-    light_intensity[:L] = li  # zero intensity => no contribution from padding
+    # lights are consumed by a lax.scan — no padding needed (padded lights
+    # would still pay a full occlusion scan each)
+    L = max(lp.shape[0], 1)
+    light_pos = np.zeros((L, 3), np.float32)
+    light_color = np.zeros((L, 3), np.float32)
+    light_intensity = np.zeros((L,), np.float32)
+    light_pos[: lp.shape[0]] = lp
+    light_color[: lp.shape[0]] = lc
+    light_intensity[: lp.shape[0]] = li
 
     return DeviceScene(
         sph_center=jnp.asarray(sph_center),
