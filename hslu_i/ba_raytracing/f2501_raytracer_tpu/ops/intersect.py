@@ -86,15 +86,28 @@ def _sphere_cos(scene: DeviceScene, o, d, t):
 
 
 def _tri_block_ts(woop4, nsq, tvalid, o4, d):
-    """One triangle block: t (R,B), uv/det validity (no backface), via MXU."""
+    """One triangle block: t (R,B), uv/det validity (no backface).
+
+    The Woop transform is applied as broadcast fma chains, (R,1)x(1,B): the
+    contraction length is only 4, so a matmul would run the MXU at ~3%
+    utilization and materialize (R,3B) intermediates in HBM — as pure
+    elementwise work XLA fuses the whole chain (transform, t/u/v, validity,
+    nearest-reduce) into one VPU pass over the (R,B) pair space."""
     B = nsq.shape[0]
-    ouvw = jnp.dot(o4, woop4, preferred_element_type=jnp.float32, precision=PRECISION)  # (R, 3B)
-    duvw = jnp.dot(d, woop4[:3], preferred_element_type=jnp.float32, precision=PRECISION)
-    R = o4.shape[0]
-    ouvw = ouvw.reshape(R, 3, B)
-    duvw = duvw.reshape(R, 3, B)
-    u_o, v_o, w_o = ouvw[:, 0], ouvw[:, 1], ouvw[:, 2]
-    u_d, v_d, w_d = duvw[:, 0], duvw[:, 1], duvw[:, 2]
+    w = woop4.reshape(4, 3, B)
+
+    def transform(vec, rows):
+        # vec (R,k) with k components; rows (k,3,B) coefficient planes
+        comps = []
+        for c in range(3):
+            acc = vec[:, 0:1] * rows[0, c][None, :]
+            for k in range(1, vec.shape[1]):
+                acc = acc + vec[:, k : k + 1] * rows[k, c][None, :]
+            comps.append(acc)
+        return comps
+
+    u_o, v_o, w_o = transform(o4, w)
+    u_d, v_d, w_d = transform(d, w[:3])
 
     t = -w_o / w_d
     u = u_o + t * u_d
@@ -109,6 +122,15 @@ def _tri_block_ts(woop4, nsq, tvalid, o4, d):
         & tvalid[None, :]
     )
     return jnp.where(valid, t, INF), valid
+
+
+def _dot3_broadcast(d, tnorm):
+    """(R,3)x(B,3) -> (R,B) via broadcast fma (K=3 is too small for the MXU)."""
+    return (
+        d[:, 0:1] * tnorm[None, :, 0]
+        + d[:, 1:2] * tnorm[None, :, 1]
+        + d[:, 2:3] * tnorm[None, :, 2]
+    )
 
 
 def _backface_mask(cos_dn, has_trans):
@@ -143,7 +165,7 @@ def cast_rays(scene: DeviceScene, o, d, backface_culling: bool = False) -> Hit:
         woop4, nsq, tnorm, tval, httr, base = blk
         t, valid = _tri_block_ts(woop4, nsq, tval, o4, d)
         if backface_culling:
-            cos_dn = jnp.dot(d, tnorm.T, preferred_element_type=jnp.float32, precision=PRECISION)
+            cos_dn = _dot3_broadcast(d, tnorm)
             valid &= _backface_mask(cos_dn, httr[None, :])
         t = jnp.where(valid, t, INF)
         tmin = jnp.min(t, axis=1)
@@ -267,7 +289,7 @@ def occlude_rays(scene: DeviceScene, o, d, max_distance, backface_culling: bool 
         woop4, nsq, tnorm, tval, httr, ior, op, met, col_r, absn = blk
         t, valid = _tri_block_ts(woop4, nsq, tval, o4, d)
         # cos(normal, -d): shading normal may be non-unit (OBJ lerp quirk)
-        cos_nv = -jnp.dot(d, tnorm.T, preferred_element_type=jnp.float32, precision=PRECISION)
+        cos_nv = -_dot3_broadcast(d, tnorm)
         if backface_culling:
             valid &= _backface_mask(-cos_nv, httr[None, :])
         hit = valid & (t <= max_distance[:, None])

@@ -92,6 +92,7 @@ def cast_nearest_objsharded(
     from ..ops.intersect import (
         INF,
         _backface_mask,
+        _dot3_broadcast,
         _sphere_cos,
         _sphere_ts,
         _tri_block_ts,
@@ -127,7 +128,7 @@ def cast_nearest_objsharded(
             woop4, nsq, tnorm, tval, httr, bs = blk
             t, valid = _tri_block_ts(woop4, nsq, tval, o4, d_rep)
             if backface_culling:
-                cos_dn = jnp.dot(d_rep, tnorm.T, preferred_element_type=jnp.float32)
+                cos_dn = _dot3_broadcast(d_rep, tnorm)
                 valid &= _backface_mask(cos_dn, httr[None, :])
             t = jnp.where(valid, t, INF)
             tmin = jnp.min(t, axis=1)

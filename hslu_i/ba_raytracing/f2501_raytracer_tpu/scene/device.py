@@ -36,6 +36,29 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def compute_woop_transforms(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray):
+    """Batch Woop transforms for T triangles: (T,4,3) [A^T | b], |ñ|^2 (T,),
+    valid (T,). Uses the native host library when available, else vectorized
+    numpy (batched 3x3 inverse)."""
+    from ..utils.native import native_woop_transforms
+
+    out = native_woop_transforms(v1, v2, v3)
+    if out is not None:
+        return out
+
+    T = v1.shape[0]
+    e1, e2 = v2 - v1, v3 - v1
+    ng = np.cross(e1, e2)
+    n2 = np.einsum("tc,tc->t", ng, ng)
+    ok = np.isfinite(n2) & (n2 > 0.0)
+    M = np.stack([e1, e2, ng], axis=2)  # (T,3,3) columns
+    M_safe = np.where(ok[:, None, None], M, np.eye(3)[None])
+    A = np.linalg.inv(M_safe)  # (T,3,3)
+    b = -np.einsum("tij,tj->ti", A, v1)
+    w4 = np.concatenate([A.transpose(0, 2, 1), b[:, None, :]], axis=1)  # (T,4,3)
+    return w4.astype(np.float32), n2.astype(np.float32), ok
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DeviceScene:
@@ -116,22 +139,15 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     woop4[:, 2, 2] = 1.0
     woop4[:, 3, :] = (0.0, 0.0, 1e8)
 
-    for i, t in enumerate(triangles):
-        e1 = (t.vertex2 - t.vertex1).astype(np.float64)
-        e2 = (t.vertex3 - t.vertex1).astype(np.float64)
-        ng = np.cross(e1, e2)
-        n2 = float(np.dot(ng, ng))
-        M = np.stack([e1, e2, ng], axis=1)  # columns
-        try:
-            A = np.linalg.inv(M)
-        except np.linalg.LinAlgError:
-            continue  # degenerate triangle: never hit (reference: det==0 -> invalid)
-        b = -A @ t.vertex1.astype(np.float64)
-        woop4[i, :3, :] = A.T.astype(np.float32)  # (3in, 3out)
-        woop4[i, 3, :] = b.astype(np.float32)
-        nsq[i] = np.float32(n2)
-        tnormal[i] = t.normal
-        tvalid[i] = True
+    if T:
+        v1 = np.stack([t.vertex1 for t in triangles]).astype(np.float64)
+        v2 = np.stack([t.vertex2 for t in triangles]).astype(np.float64)
+        v3 = np.stack([t.vertex3 for t in triangles]).astype(np.float64)
+        w4, n2, ok = compute_woop_transforms(v1, v2, v3)
+        woop4[:T][ok] = w4[ok]
+        nsq[:T][ok] = n2[ok]
+        tnormal[:T] = np.stack([t.normal for t in triangles]).astype(np.float32)
+        tvalid[:T] = ok
 
     mat_color = np.zeros((N, 3), np.float32)
     mat_metallic = np.zeros((N,), np.float32)

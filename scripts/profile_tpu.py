@@ -51,7 +51,7 @@ def main():
     px, py = np.meshgrid(np.arange(W), np.arange(H))
     coords = pixel_scene_coords(cfg, px.reshape(-1), py.reshape(-1))
     dirs = (coords - np.asarray(cfg.camera.render_ray_focus, np.float32)).astype(np.float32)
-    R = 32768
+    R = min(32768, coords.shape[0])
     o = jnp.asarray(coords[:R])
     d = normalized(jnp.asarray(dirs[:R]))
 
