@@ -314,6 +314,19 @@ def quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     )
 
 
+def quat_rotate_batch(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Rotate (N,3) vectors by quaternion (w,x,y,z)."""
+    w, x, y, z = q
+    u = np.array([x, y, z])
+    v64 = np.asarray(v, dtype=np.float64)
+    out = (
+        2.0 * (v64 @ u)[:, None] * u[None, :]
+        + (w * w - np.dot(u, u)) * v64
+        + 2.0 * w * np.cross(np.broadcast_to(u, v64.shape), v64)
+    )
+    return out.astype(np.float32)
+
+
 def quat_rotate(q: np.ndarray, v: np.ndarray) -> np.ndarray:
     w, x, y, z = q
     u = np.array([x, y, z])
