@@ -3,10 +3,14 @@
 TPU-native replacement for the reference's per-object linear scans
 (ref raytracing/raytracer.rs:162-220 `cast_ray` and :24-106
 `has_any_intersection`): rays are dense wavefronts (R,3); triangles are
-tested 512-at-a-time via two MXU matmuls against the Woop transforms
-(see scene/device.py); nearest-hit selection is a running (t, index) min
-carried through a `lax.scan` over object blocks, replacing the reference's
-lane-masked `SurfaceInteraction::blend` chain (surface_interaction.rs:55-64).
+tested block-at-a-time against precomputed Woop transforms
+(see scene/device.py); nearest-hit selection is a running (t, index) min,
+replacing the reference's lane-masked `SurfaceInteraction::blend` chain
+(surface_interaction.rs:55-64).
+
+Two equivalent device paths:
+* XLA: broadcast-fma pair tiles inside a `lax.scan` over triangle blocks
+* Pallas (`use_pallas`): fully fused VMEM kernels (ops/pallas_kernels.py)
 
 Semantics preserved exactly (these define the image):
 * sphere root selection prefers the nearest non-negative t (sphere.rs:108-129)
@@ -28,11 +32,6 @@ import jax.numpy as jnp
 
 from ..scene.device import DeviceScene
 from .vecmath import F32_EPSILON, dot, normalized
-
-# Geometry matmuls must run at full f32: the MXU's default bf16 passes
-# (~2^-8 relative error) visibly corrupt intersection distances and
-# shadow decisions. HIGHEST selects the 6-pass f32-exact decomposition.
-PRECISION = jax.lax.Precision.HIGHEST
 
 INF = jnp.float32(jnp.inf)
 
@@ -58,9 +57,8 @@ class Hit:
 
 
 def _sphere_ts(scene: DeviceScene, o, d):
-    """Quadratic per (ray, sphere): returns t (R,S) with the reference's root
-    preference, plus validity ignoring backface culling, and cos(dir, normal)."""
-    # v = o - c ; b = 2 d.v ; c = v.v - r^2 ; disc = b^2 - 4c  (sphere.rs:80-110)
+    """Quadratic per (ray, sphere): t (R,S) with the reference's root
+    preference (sphere.rs:80-129) and validity ignoring backface culling."""
     oc = o[:, None, :] - scene.sph_center[None, :, :]  # (R,S,3)
     b = 2.0 * jnp.sum(d[:, None, :] * oc, axis=-1)
     c = jnp.sum(oc * oc, axis=-1) - scene.sph_r_sq[None, :]
@@ -85,19 +83,16 @@ def _sphere_cos(scene: DeviceScene, o, d, t):
     return jnp.sum(d[:, None, :] * n, axis=-1)
 
 
-def _tri_block_ts(woop4, nsq, tvalid, o4, d):
-    """One triangle block: t (R,B), uv/det validity (no backface).
+def _tri_block_ts(woop, nsq, tvalid_f, o4, d):
+    """One triangle block: t (R,B) (+inf invalid), validity (no backface).
 
-    The Woop transform is applied as broadcast fma chains, (R,1)x(1,B): the
-    contraction length is only 4, so a matmul would run the MXU at ~3%
-    utilization and materialize (R,3B) intermediates in HBM — as pure
-    elementwise work XLA fuses the whole chain (transform, t/u/v, validity,
-    nearest-reduce) into one VPU pass over the (R,B) pair space."""
+    Broadcast fma chains, (R,1)x(1,B): the contraction length is only 4, so
+    a matmul would run the MXU at ~3% utilization; as elementwise work XLA
+    fuses the transform, t/u/v, validity and the nearest-reduce."""
     B = nsq.shape[0]
-    w = woop4.reshape(4, 3, B)
+    w = woop.reshape(4, 3, B)
 
     def transform(vec, rows):
-        # vec (R,k) with k components; rows (k,3,B) coefficient planes
         comps = []
         for c in range(3):
             acc = vec[:, 0:1] * rows[0, c][None, :]
@@ -119,17 +114,17 @@ def _tri_block_ts(woop4, nsq, tvalid, o4, d):
         & (v >= 0.0)
         & (u + v < 1.0)
         & (jnp.abs(det) > F32_EPSILON)
-        & tvalid[None, :]
+        & (tvalid_f[None, :] != 0.0)
     )
     return jnp.where(valid, t, INF), valid
 
 
-def _dot3_broadcast(d, tnorm):
-    """(R,3)x(B,3) -> (R,B) via broadcast fma (K=3 is too small for the MXU)."""
+def _dot3_planes(d, tn3):
+    """(R,3)x(3,B) -> (R,B) via broadcast fma (K=3 is too small for the MXU)."""
     return (
-        d[:, 0:1] * tnorm[None, :, 0]
-        + d[:, 1:2] * tnorm[None, :, 1]
-        + d[:, 2:3] * tnorm[None, :, 2]
+        d[:, 0:1] * tn3[0][None, :]
+        + d[:, 1:2] * tn3[1][None, :]
+        + d[:, 2:3] * tn3[2][None, :]
     )
 
 
@@ -139,52 +134,105 @@ def _backface_mask(cos_dn, has_trans):
     return (cos_dn < 0.75) | has_trans
 
 
-@partial(jax.jit, static_argnames=("backface_culling",))
-def cast_rays(scene: DeviceScene, o, d, backface_culling: bool = False) -> Hit:
-    """Nearest-hit cast of R rays (ref raytracer.rs:162-220). `d` must be
-    normalized (Ray::new normalizes, ray.rs:54)."""
-    R = o.shape[0]
-    S = scene.sphere_slots
+def _pad_rays(arrs, multiple):
+    R = arrs[0].shape[0]
+    pad = (-R) % multiple
+    if pad == 0:
+        return arrs, R
+    out = []
+    for a in arrs:
+        pad_width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        out.append(jnp.pad(a, pad_width))
+    return out, R
 
-    # --- spheres (dense, S is small) ---
+
+def _sphere_nearest(scene, o, d, backface_culling):
+    S = scene.sphere_slots
     st, s_valid = _sphere_ts(scene, o, d)
     if backface_culling:
         cos = _sphere_cos(scene, o, d, jnp.where(s_valid, st, 0.0))
         s_valid &= _backface_mask(cos, scene.mat_has_trans[None, :S])
     st = jnp.where(s_valid, st, INF)
-    best_t = jnp.min(st, axis=1)
-    best_idx = jnp.argmin(st, axis=1).astype(jnp.int32)
+    return jnp.min(st, axis=1), jnp.argmin(st, axis=1).astype(jnp.int32)
 
-    # --- triangle blocks (MXU scan) ---
-    o4 = jnp.concatenate([o, jnp.ones((R, 1), o.dtype)], axis=1)
-    tri_has_trans = scene.mat_has_trans[S:].reshape(scene.triangle_blocks, -1)
+
+def _tri_nearest_xla(scene, o4, d, backface_culling):
+    S = scene.sphere_slots
     tri_base = S + scene.tri_block * jnp.arange(scene.triangle_blocks, dtype=jnp.int32)
 
     def body(carry, blk):
         bt, bi = carry
-        woop4, nsq, tnorm, tval, httr, base = blk
-        t, valid = _tri_block_ts(woop4, nsq, tval, o4, d)
+        woop, nsq, tn3, tval, httr, base = blk
+        t, valid = _tri_block_ts(woop, nsq, tval, o4, d)
         if backface_culling:
-            cos_dn = _dot3_broadcast(d, tnorm)
-            valid &= _backface_mask(cos_dn, httr[None, :])
+            cos_dn = _dot3_planes(d, tn3)
+            valid &= _backface_mask(cos_dn, httr[None, :] != 0.0)
         t = jnp.where(valid, t, INF)
         tmin = jnp.min(t, axis=1)
         targ = jnp.argmin(t, axis=1).astype(jnp.int32)
         closer = tmin < bt
         return (jnp.where(closer, tmin, bt), jnp.where(closer, base + targ, bi)), None
 
-    (best_t, best_idx), _ = jax.lax.scan(
+    R = o4.shape[0]
+    init = (jnp.full((R,), INF), jnp.zeros((R,), jnp.int32))
+    (t, idx), _ = jax.lax.scan(
         body,
-        (best_t, best_idx),
+        init,
         (
-            scene.tri_woop4,
+            scene.tri_woop,
             scene.tri_nsq,
-            scene.tri_normal,
-            scene.tri_valid,
-            tri_has_trans,
+            scene.tri_normal3,
+            scene.tri_valid_f,
+            scene.tri_httr_f,
             tri_base,
         ),
     )
+    return t, idx
+
+
+@partial(
+    jax.jit, static_argnames=("backface_culling", "use_pallas", "interpret")
+)
+def cast_rays(
+    scene: DeviceScene,
+    o,
+    d,
+    backface_culling: bool = False,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> Hit:
+    """Nearest-hit cast of R rays (ref raytracer.rs:162-220). `d` must be
+    normalized (Ray::new normalizes, ray.rs:54)."""
+    R = o.shape[0]
+    S = scene.sphere_slots
+
+    best_t, best_idx = _sphere_nearest(scene, o, d, backface_culling)
+
+    if use_pallas:
+        from .pallas_kernels import pallas_cast_triangles
+
+        (op, dp), _ = _pad_rays((o, d), 256)
+        tt, tidx = pallas_cast_triangles(
+            scene.tri_woop,
+            scene.tri_nsq,
+            scene.tri_valid_f,
+            scene.tri_httr_f,
+            scene.tri_normal3,
+            op,
+            dp,
+            backface_culling=backface_culling,
+            interpret=interpret,
+        )
+        tt, tidx = tt[:R], tidx[:R]
+        closer = tt < best_t
+        best_t = jnp.where(closer, tt, best_t)
+        best_idx = jnp.where(closer, S + tidx, best_idx)
+    else:
+        o4 = jnp.concatenate([o, jnp.ones((R, 1), o.dtype)], axis=1)
+        tt, tidx = _tri_nearest_xla(scene, o4, d, backface_culling)
+        closer = tt < best_t
+        best_t = jnp.where(closer, tt, best_t)
+        best_idx = jnp.where(closer, tidx, best_idx)
 
     valid = jnp.isfinite(best_t)
     t_safe = jnp.where(valid, best_t, 0.0)
@@ -235,8 +283,91 @@ def _shadow_transmittance_red(cos_nv, ior, opacity, metallic, color_r, has_trans
     return 1.0 - f_r
 
 
-@partial(jax.jit, static_argnames=("backface_culling",))
-def occlude_rays(scene: DeviceScene, o, d, max_distance, backface_culling: bool = False):
+def _sphere_occlusion(scene, o, d, max_distance, backface_culling):
+    S = scene.sphere_slots
+    st, s_valid = _sphere_ts(scene, o, d)
+    httr = scene.mat_has_trans[None, :S]
+    cos = _sphere_cos(scene, o, d, jnp.where(s_valid, st, 0.0))
+    if backface_culling:
+        s_valid &= _backface_mask(cos, httr)
+    s_hit = s_valid & (st <= max_distance[:, None])
+    t_red = _shadow_transmittance_red(
+        -cos,  # fresnel is called with view = -ray.direction (raytracer.rs:57-60)
+        scene.mat_ior[None, :S],
+        scene.mat_opacity[None, :S],
+        scene.mat_metallic[None, :S],
+        scene.mat_color[None, :S, 0],
+        httr,
+    )
+    t_red = jnp.where(httr, t_red, 0.0)
+    io = jnp.where(httr, scene.mat_opacity[None, :S], 0.0) * t_red
+    dec = jnp.sum(jnp.where(s_hit, 1.0 - io, 0.0), axis=1)
+    opq = jnp.any(s_hit & ~httr, axis=1)
+    hit_f = jnp.where(s_hit, 1.0, 0.0)
+    fsub = jnp.einsum("rs,sc->rc", hit_f, scene.mat_absorption[:S])
+    return dec, opq, fsub
+
+
+def _tri_occlusion_xla(scene, o4, d, max_distance, backface_culling):
+    def body(carry, blk):
+        dec, opq, fsub = carry
+        woop, nsq, tn3, tval, httr_f, ior, op, met, col_r, absn = blk
+        t, valid = _tri_block_ts(woop, nsq, tval, o4, d)
+        httr = httr_f[None, :] != 0.0
+        cos_nv = -_dot3_planes(d, tn3)
+        if backface_culling:
+            valid &= _backface_mask(-cos_nv, httr)
+        hit = valid & (t <= max_distance[:, None])
+        tr = _shadow_transmittance_red(
+            cos_nv, ior[None, :], op[None, :], met[None, :], col_r[None, :], httr
+        )
+        tr = jnp.where(httr, tr, 0.0)
+        io = jnp.where(httr, op[None, :], 0.0) * tr
+        dec = dec + jnp.sum(jnp.where(hit, 1.0 - io, 0.0), axis=1)
+        opq = opq | jnp.any(hit & ~httr, axis=1)
+        hit_f = jnp.where(hit, 1.0, 0.0)
+        fsub = fsub + jnp.stack(
+            [jnp.sum(hit_f * absn[c][None, :], axis=1) for c in range(3)], axis=-1
+        )
+        return (dec, opq, fsub), None
+
+    R = o4.shape[0]
+    init = (
+        jnp.zeros((R,)),
+        jnp.zeros((R,), bool),
+        jnp.zeros((R, 3)),
+    )
+    (dec, opq, fsub), _ = jax.lax.scan(
+        body,
+        init,
+        (
+            scene.tri_woop,
+            scene.tri_nsq,
+            scene.tri_normal3,
+            scene.tri_valid_f,
+            scene.tri_httr_f,
+            scene.tri_ior,
+            scene.tri_op,
+            scene.tri_met,
+            scene.tri_colr,
+            scene.tri_absn,
+        ),
+    )
+    return dec, opq, fsub
+
+
+@partial(
+    jax.jit, static_argnames=("backface_culling", "use_pallas", "interpret")
+)
+def occlude_rays(
+    scene: DeviceScene,
+    o,
+    d,
+    max_distance,
+    backface_culling: bool = False,
+    use_pallas: bool = False,
+    interpret: bool = False,
+):
     """Shadow/occlusion test (ref raytracer.rs:24-106).
 
     Returns (completely_occluded (R,), combined_opacity (R,), color_filter (R,3)).
@@ -246,80 +377,39 @@ def occlude_rays(scene: DeviceScene, o, d, max_distance, backface_culling: bool 
     the reference). The backface-cull quirk applies to shadow rays too, since
     the reference funnels them through the same `intersect` impls.
     """
-    R = o.shape[0]
-    S = scene.sphere_slots
+    dec, opq, fsub = _sphere_occlusion(scene, o, d, max_distance, backface_culling)
 
-    # --- spheres ---
-    st, s_valid = _sphere_ts(scene, o, d)
-    httr0 = scene.mat_has_trans[None, :S]
-    cos = _sphere_cos(scene, o, d, jnp.where(s_valid, st, 0.0))
-    if backface_culling:
-        s_valid &= _backface_mask(cos, httr0)
-    s_hit = s_valid & (st <= max_distance[:, None])
-    httr = httr0
-    t_red = _shadow_transmittance_red(
-        -cos,  # fresnel is called with view = -ray.direction (raytracer.rs:57-60)
-        scene.mat_ior[None, :S],
-        scene.mat_opacity[None, :S],
-        scene.mat_metallic[None, :S],
-        scene.mat_color[None, :S, 0],
-        httr,
-    )
-    t_red = jnp.where(httr, t_red, 0.0)  # blend(trans.mask, T, 0) raytracer.rs:63-67
-    io = jnp.where(httr, scene.mat_opacity[None, :S], 0.0) * t_red
-    opacity_decrement = jnp.sum(jnp.where(s_hit, 1.0 - io, 0.0), axis=1)
-    any_opaque = jnp.any(s_hit & ~httr, axis=1)
-    filter_sub = jnp.einsum(
-        "rs,sc->rc", jnp.where(s_hit, 1.0, 0.0), scene.mat_absorption[:S],
-        precision=PRECISION,
-    )
+    if use_pallas:
+        from .pallas_kernels import pallas_occlude_triangles
 
-    # --- triangle blocks ---
-    o4 = jnp.concatenate([o, jnp.ones((R, 1), o.dtype)], axis=1)
-    nb, B = scene.triangle_blocks, scene.tri_block
-    tri_httr = scene.mat_has_trans[S:].reshape(nb, B)
-    tri_ior = scene.mat_ior[S:].reshape(nb, B)
-    tri_op = scene.mat_opacity[S:].reshape(nb, B)
-    tri_met = scene.mat_metallic[S:].reshape(nb, B)
-    tri_col_r = scene.mat_color[S:, 0].reshape(nb, B)
-    tri_abs = scene.mat_absorption[S:].reshape(nb, B, 3)
-
-    def body(carry, blk):
-        dec, opq, fsub = carry
-        woop4, nsq, tnorm, tval, httr, ior, op, met, col_r, absn = blk
-        t, valid = _tri_block_ts(woop4, nsq, tval, o4, d)
-        # cos(normal, -d): shading normal may be non-unit (OBJ lerp quirk)
-        cos_nv = -_dot3_broadcast(d, tnorm)
-        if backface_culling:
-            valid &= _backface_mask(-cos_nv, httr[None, :])
-        hit = valid & (t <= max_distance[:, None])
-        tr = _shadow_transmittance_red(
-            cos_nv, ior[None, :], op[None, :], met[None, :], col_r[None, :], httr[None, :]
-        )
-        tr = jnp.where(httr[None, :], tr, 0.0)
-        io = jnp.where(httr[None, :], op[None, :], 0.0) * tr
-        dec = dec + jnp.sum(jnp.where(hit, 1.0 - io, 0.0), axis=1)
-        opq = opq | jnp.any(hit & ~httr[None, :], axis=1)
-        fsub = fsub + jnp.einsum("rb,bc->rc", jnp.where(hit, 1.0, 0.0), absn, precision=PRECISION)
-        return (dec, opq, fsub), None
-
-    (opacity_decrement, any_opaque, filter_sub), _ = jax.lax.scan(
-        body,
-        (opacity_decrement, any_opaque, filter_sub),
-        (
-            scene.tri_woop4,
+        (op_, dp_, mp_), R = _pad_rays((o, d, max_distance), 256)
+        tdec, topq, tfsub = pallas_occlude_triangles(
+            scene.tri_woop,
             scene.tri_nsq,
-            scene.tri_normal,
-            scene.tri_valid,
-            tri_httr,
-            tri_ior,
-            tri_op,
-            tri_met,
-            tri_col_r,
-            tri_abs,
-        ),
-    )
+            scene.tri_valid_f,
+            scene.tri_httr_f,
+            scene.tri_normal3,
+            scene.tri_ior,
+            scene.tri_op,
+            scene.tri_met,
+            scene.tri_colr,
+            scene.tri_absn,
+            op_,
+            dp_,
+            mp_,
+            backface_culling=backface_culling,
+            interpret=interpret,
+        )
+        dec = dec + tdec[:R]
+        opq = opq | topq[:R]
+        fsub = fsub + tfsub[:R]
+    else:
+        o4 = jnp.concatenate([o, jnp.ones((o.shape[0], 1), o.dtype)], axis=1)
+        tdec, topq, tfsub = _tri_occlusion_xla(scene, o4, d, max_distance, backface_culling)
+        dec = dec + tdec
+        opq = opq | topq
+        fsub = fsub + tfsub
 
-    combined_opacity = jnp.clip(1.0 - opacity_decrement, 0.0, 1.0)
-    color_filter = 1.0 - filter_sub
-    return any_opaque, combined_opacity, color_filter
+    combined_opacity = jnp.clip(1.0 - dec, 0.0, 1.0)
+    color_filter = 1.0 - fsub
+    return opq, combined_opacity, color_filter

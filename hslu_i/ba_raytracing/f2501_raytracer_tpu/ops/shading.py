@@ -86,7 +86,13 @@ def calculate_lighting(
         max_dist = jnp.sqrt(dot(lpos[None, :] - shadow_origin, lpos[None, :] - shadow_origin))
 
         occluded, combined_opacity, color_filter = occlude_rays(
-            scene, shadow_origin, light_dir, max_dist, cfg.backface_culling
+            scene,
+            shadow_origin,
+            light_dir,
+            max_dist,
+            cfg.backface_culling,
+            cfg.use_pallas,
+            cfg.interpret,
         )
         can_reach = ~occluded & valid
 

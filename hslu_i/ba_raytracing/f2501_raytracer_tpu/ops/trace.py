@@ -51,7 +51,7 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
     Returns (contribution (R,3), primary_hit_valid (R,), refl_push, refr_push)
     where each push is a dict of per-ray child-entry fields + a `mask`.
     """
-    hit = cast_rays(scene, o, d, cfg.backface_culling)
+    hit = cast_rays(scene, o, d, cfg.backface_culling, cfg.use_pallas, cfg.interpret)
     hval = hit.valid & active
     hit = dataclasses.replace(hit, valid=hval)
 

@@ -92,7 +92,7 @@ def cast_nearest_objsharded(
     from ..ops.intersect import (
         INF,
         _backface_mask,
-        _dot3_broadcast,
+        _dot3_planes,
         _sphere_cos,
         _sphere_ts,
         _tri_block_ts,
@@ -104,7 +104,7 @@ def cast_nearest_objsharded(
     assert nb % ndev == 0, f"triangle blocks ({nb}) must divide the mesh ({ndev})"
     S = scene.sphere_slots
     B = scene.tri_block
-    tri_httr_full = scene.mat_has_trans[S:].reshape(nb, B)
+    tri_httr_full = scene.tri_httr_f
 
     def local(tri_stack, httr_shard, scene_rep, o_rep, d_rep):
         woop4s, nsqs, tnorms, tvals = tri_stack
@@ -128,8 +128,8 @@ def cast_nearest_objsharded(
             woop4, nsq, tnorm, tval, httr, bs = blk
             t, valid = _tri_block_ts(woop4, nsq, tval, o4, d_rep)
             if backface_culling:
-                cos_dn = _dot3_broadcast(d_rep, tnorm)
-                valid &= _backface_mask(cos_dn, httr[None, :])
+                cos_dn = _dot3_planes(d_rep, tnorm)
+                valid &= _backface_mask(cos_dn, httr[None, :] != 0.0)
             t = jnp.where(valid, t, INF)
             tmin = jnp.min(t, axis=1)
             targ = jnp.argmin(t, axis=1).astype(jnp.int32)
@@ -151,5 +151,5 @@ def cast_nearest_objsharded(
         out_specs=(P(), P(), P()),
         check_vma=False,  # pmin outputs are replicated
     )
-    tri_stack = (scene.tri_woop4, scene.tri_nsq, scene.tri_normal, scene.tri_valid)
+    tri_stack = (scene.tri_woop, scene.tri_nsq, scene.tri_normal3, scene.tri_valid_f)
     return jax.jit(mapped)(tri_stack, tri_httr_full, scene, o, d)

@@ -69,11 +69,19 @@ class DeviceScene:
     sph_r_sq: jax.Array  # (S,)
     sph_valid: jax.Array  # (S,) bool
 
-    # triangles (blocked for the matmul scan)
-    tri_woop4: jax.Array  # (nb, 4, 3*B) — rows: x,y,z,1-row (A^T | b)
+    # triangles, block-planar layout shared by the XLA scan and the Pallas
+    # kernels: plane index 3k+c = coefficient of input component k for
+    # output coordinate c (rows 0-8: A^T, rows 9-11: b)
+    tri_woop: jax.Array  # (nb, 12, B)
     tri_nsq: jax.Array  # (nb, B) |ñ|^2
-    tri_normal: jax.Array  # (nb, B, 3) shading normal (possibly non-unit)
-    tri_valid: jax.Array  # (nb, B) bool
+    tri_normal3: jax.Array  # (nb, 3, B) shading normal planes (may be non-unit)
+    tri_valid_f: jax.Array  # (nb, B) 1.0/0.0
+    tri_httr_f: jax.Array  # (nb, B) transmission mask as 1.0/0.0
+    tri_ior: jax.Array  # (nb, B)
+    tri_op: jax.Array  # (nb, B) opacity value
+    tri_met: jax.Array  # (nb, B) metallic
+    tri_colr: jax.Array  # (nb, B) color red channel (shadow fresnel)
+    tri_absn: jax.Array  # (nb, 3, B) absorption planes
 
     # per-object materials, global index space (S + nb*B entries)
     mat_color: jax.Array  # (N, 3)
@@ -102,7 +110,7 @@ class DeviceScene:
 
     @property
     def triangle_blocks(self) -> int:
-        return self.tri_woop4.shape[0]
+        return self.tri_woop.shape[0]
 
 
 def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1) -> DeviceScene:
@@ -175,6 +183,13 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         fill_mat(S_pad + i, t.material)
         obj_normal[S_pad + i] = t.normal
 
+    def planar(x):  # (T_pad, ...) -> block-planar (nb, ..., B)
+        if x.ndim == 1:
+            return x.reshape(nb, B)
+        return x.reshape(nb, B, x.shape[1]).transpose(0, 2, 1)
+
+    tri_slice = slice(S_pad, S_pad + T_pad)
+
     cam = cfg.camera
     lp, lc, li = preprocess_lights(
         scene.scene_lights, cfg.point_light_multiplicator, cam, seed=cfg.seed
@@ -193,14 +208,18 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         sph_center=jnp.asarray(sph_center),
         sph_r_sq=jnp.asarray(sph_r_sq),
         sph_valid=jnp.asarray(sph_valid),
-        # layout (nb, 4, 3*B) with the 3B columns grouped coordinate-major:
-        # [u-block | v-block | w-block], so (rays @ woop) reshapes to (R,3,B)
-        tri_woop4=jnp.asarray(
-            woop4.reshape(nb, B, 4, 3).transpose(0, 2, 3, 1).reshape(nb, 4, 3 * B)
+        tri_woop=jnp.asarray(
+            woop4.reshape(nb, B, 4, 3).transpose(0, 2, 3, 1).reshape(nb, 12, B)
         ),
         tri_nsq=jnp.asarray(nsq.reshape(nb, B)),
-        tri_normal=jnp.asarray(tnormal.reshape(nb, B, 3)),
-        tri_valid=jnp.asarray(tvalid.reshape(nb, B)),
+        tri_normal3=jnp.asarray(planar(tnormal)),
+        tri_valid_f=jnp.asarray(planar(tvalid.astype(np.float32))),
+        tri_httr_f=jnp.asarray(planar(mat_has_trans[tri_slice].astype(np.float32))),
+        tri_ior=jnp.asarray(planar(mat_ior[tri_slice])),
+        tri_op=jnp.asarray(planar(mat_opacity[tri_slice])),
+        tri_met=jnp.asarray(planar(mat_metallic[tri_slice])),
+        tri_colr=jnp.asarray(planar(mat_color[tri_slice, 0])),
+        tri_absn=jnp.asarray(planar(mat_absorption[tri_slice])),
         mat_color=jnp.asarray(mat_color),
         mat_metallic=jnp.asarray(mat_metallic),
         mat_shininess=jnp.asarray(mat_shininess),
