@@ -59,14 +59,14 @@ def _cast_kernel(
     j = pl.program_id(1)
     woop = woop_ref[0]  # (12, B)
     t, u, v, w_d = _pair_tuv(woop, o4_ref, d_ref)
-    det = w_d * nsq_ref[0][None, :]
+    det = w_d * nsq_ref[0, 0][None, :]
     valid = (
         (t > F32_EPSILON)
         & (u >= 0.0)
         & (v >= 0.0)
         & (u + v < 1.0)
         & (jnp.abs(det) > F32_EPSILON)
-        & (valid_ref[0][None, :] != 0)
+        & (valid_ref[0, 0][None, :] != 0)
     )
     if backface_culling:
         tn = tnorm_ref[0]  # (3, B)
@@ -76,7 +76,7 @@ def _cast_kernel(
             + d[:, 1:2] * tn[1][None, :]
             + d[:, 2:3] * tn[2][None, :]
         )
-        valid &= (cos_dn < 0.75) | (httr_ref[0][None, :] != 0)
+        valid &= (cos_dn < 0.75) | (httr_ref[0, 0][None, :] != 0)
 
     t = jnp.where(valid, t, INF)
     tmin = jnp.min(t, axis=1, keepdims=True)  # (RT, 1)
@@ -126,9 +126,9 @@ def pallas_cast_triangles(
             pl.BlockSpec((ray_tile, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ray_tile, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 12, B), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, B), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -140,7 +140,7 @@ def pallas_cast_triangles(
             jax.ShapeDtypeStruct((R, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(o4, d, tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3)
+    )(o4, d, tri_woop, tri_nsq[:, None], tri_valid[:, None], tri_httr[:, None], tri_normal3)
     return t_out[:, 0], idx_out[:, 0]
 
 
@@ -152,14 +152,14 @@ def _occlude_kernel(
     j = pl.program_id(1)
     woop = woop_ref[0]
     t, u, v, w_d = _pair_tuv(woop, o4_ref, d_ref)
-    det = w_d * nsq_ref[0][None, :]
+    det = w_d * nsq_ref[0, 0][None, :]
     valid = (
         (t > F32_EPSILON)
         & (u >= 0.0)
         & (v >= 0.0)
         & (u + v < 1.0)
         & (jnp.abs(det) > F32_EPSILON)
-        & (valid_ref[0][None, :] != 0)
+        & (valid_ref[0, 0][None, :] != 0)
     )
     d = d_ref[:]
     tn = tnorm_ref[0]
@@ -169,7 +169,7 @@ def _occlude_kernel(
         + d[:, 1:2] * tn[1][None, :]
         + d[:, 2:3] * tn[2][None, :]
     )
-    httr = httr_ref[0][None, :] != 0
+    httr = httr_ref[0, 0][None, :] != 0
     if backface_culling:
         valid &= (-cos_nv < 0.75) | httr
 
@@ -177,10 +177,10 @@ def _occlude_kernel(
 
     # shadow Fresnel transmittance, red channel (material.rs:467-525 with
     # other_ior=1; raytracer.rs:57-74)
-    ior = ior_ref[0][None, :]
-    met = met_ref[0][None, :]
-    col_r = colr_ref[0][None, :]
-    opv = op_ref[0][None, :]
+    ior = ior_ref[0, 0][None, :]
+    met = met_ref[0, 0][None, :]
+    col_r = colr_ref[0, 0][None, :]
+    opv = op_ref[0, 0][None, :]
     cos_theta = jnp.abs(cos_nv)
     is_inside = cos_nv < 0.0
     eta_t = jnp.where(is_inside, ior, 1.0 / ior)
@@ -234,7 +234,6 @@ def pallas_occlude_triangles(
     maxd = max_distance[:, None]
 
     grid = (R // ray_tile, nb)
-    blk1 = lambda i, j: (j, 0)
     blk2 = lambda i, j: (j, 0, 0)
     ray1 = lambda i, j: (i, 0)
     dec, opq, fsub = pl.pallas_call(
@@ -245,14 +244,14 @@ def pallas_occlude_triangles(
             pl.BlockSpec((ray_tile, 3), ray1, memory_space=pltpu.VMEM),
             pl.BlockSpec((ray_tile, 1), ray1, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 12, B), blk2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), blk1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), blk1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), blk1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), blk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), blk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), blk2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, B), blk2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), blk1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), blk1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), blk1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), blk1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), blk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), blk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), blk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), blk2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, B), blk2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -267,7 +266,9 @@ def pallas_occlude_triangles(
         ],
         interpret=interpret,
     )(
-        o4, d, maxd, tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
-        tri_ior, tri_op, tri_met, tri_colr, tri_absn,
+        o4, d, maxd, tri_woop, tri_nsq[:, None], tri_valid[:, None],
+        tri_httr[:, None], tri_normal3,
+        tri_ior[:, None], tri_op[:, None], tri_met[:, None], tri_colr[:, None],
+        tri_absn,
     )
     return dec[:, 0], opq[:, 0] > 0.0, fsub
