@@ -129,6 +129,11 @@ class RenderConfig:
     tile_rays: int = 8192  # rays per traced batch
     stack_size: int = 24  # wavefront DFS stack slots (>= max depth + 1)
     max_nodes: int = 96  # shading-tree nodes evaluated per ray, upper bound
+    # secondary-ray compaction: each loop iteration services only
+    # tile_rays/compaction_ratio pixels with pending rays (sorted to the
+    # front), since contributions are weight-linear and order-independent.
+    # 1 disables compaction; 4 is a good default once most rays die young.
+    compaction_ratio: int = 4
     weight_cutoff: float = 1e-4  # prune children with weight below this
     triangle_block: int = 512  # triangles per matmul block
     interpret: bool = False  # pallas interpreter mode (CPU tests)
