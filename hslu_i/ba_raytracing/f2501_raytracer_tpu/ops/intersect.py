@@ -218,6 +218,7 @@ def cast_rays(
             scene.tri_valid_f,
             scene.tri_httr_f,
             scene.tri_normal3,
+            scene.tri_aabb,
             op,
             dp,
             backface_culling=backface_culling,
@@ -394,6 +395,7 @@ def occlude_rays(
             scene.tri_met,
             scene.tri_colr,
             scene.tri_absn,
+            scene.tri_aabb,
             op_,
             dp_,
             mp_,

@@ -1,16 +1,20 @@
 """Pallas TPU kernels for the two hot scans: nearest-hit cast and shadow
 occlusion over triangle blocks.
 
-Why Pallas: the per-(ray, triangle) work is ~35-60 VPU ops on a (RT, B) pair
-tile followed by a lane reduction. Left to XLA the chain materializes many
-(R, B) intermediates in HBM; here the whole pipeline — Woop transform,
-t/u/v validity, the reference's quirky Fresnel shadow transmittance, and the
-running min / accumulate — stays in VMEM and registers, with triangle blocks
-streamed through the grid's minor dimension.
+Why Pallas: the per-(ray, triangle) work is ~35-60 VPU ops on a pair tile
+followed by a lane reduction. Left to XLA the chain materializes many (R, B)
+intermediates in HBM; here the whole pipeline — Woop transform, t/u/v
+validity, the reference's quirky Fresnel shadow transmittance, and the
+running min / accumulate — stays in VMEM and registers.
 
-Layout: rays along sublanes (RT rows), triangles along lanes (B = 128·k
-columns). Grid = (R/RT, nb); outputs are revisited across the minor (block)
-axis and initialized at block 0, the standard Pallas accumulation pattern.
+Structure: the full triangle SoA (~25 f32 planes, Morton-ordered) is small
+enough to reside in VMEM (1.5 MB for the 14.5k-face semesterbild mesh), so
+the grid is 1-D over ray tiles and a `fori_loop` walks the triangle blocks
+in-kernel — a 2-D grid would pay per-step pipeline overhead on every
+(tile, block) cell. Each block carries a Morton-tight AABB; a per-tile slab
+test skips blocks no ray in the tile can touch (`lax.cond`), the TPU
+analogue of an acceleration structure's node rejection — the reference
+itself scans every object for every ray (SURVEY.md §3.4).
 
 Semantics are identical to ops/intersect.py (same reference citations).
 """
@@ -31,14 +35,11 @@ INF = float("inf")
 BIG_IDX = 2**31 - 1
 
 
-def _pair_tuv(woop, o4_ref, d_ref):
+def _pair_tuv(woop, o4, d):
     """Woop transform on a (RT, B) pair tile. woop: (12, B) rows =
     [A^T | b] coefficient planes; returns t, u, v, w_d."""
-    o4 = o4_ref[:]  # (RT, 4)
-    d = d_ref[:]  # (RT, 3)
 
     def tf(vec, k0, nk):
-        # Σ_k vec[:, k] * woop[k0 + 3k] -> (RT, B)
         acc = vec[:, 0:1] * woop[k0, :][None, :]
         for k in range(1, nk):
             acc += vec[:, k : k + 1] * woop[k0 + 3 * k, :][None, :]
@@ -52,178 +53,209 @@ def _pair_tuv(woop, o4_ref, d_ref):
     return t, u, v, w_d
 
 
-def _cast_kernel(
-    o4_ref, d_ref, woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref,
-    t_out, idx_out, *, block_size, backface_culling,
-):
-    j = pl.program_id(1)
-    woop = woop_ref[0]  # (12, B)
-    t, u, v, w_d = _pair_tuv(woop, o4_ref, d_ref)
-    det = w_d * nsq_ref[0, 0][None, :]
+def _block_aabb_hit(aabb_row, o, d, t_limit):
+    """Does ANY ray in the tile hit this block's AABB closer than `t_limit`?
+    aabb_row: (8,) = [min xyz | max xyz | pad]; robust slab test."""
+    inv = 1.0 / d  # (RT,3); ±inf on zero components is fine
+    t1 = (aabb_row[0:3][None, :] - o) * inv
+    t2 = (aabb_row[3:6][None, :] - o) * inv
+    tnear = jnp.max(jnp.minimum(t1, t2), axis=1)
+    tfar = jnp.min(jnp.maximum(t1, t2), axis=1)
+    hit = (tfar >= jnp.maximum(tnear, 0.0)) & (tnear <= t_limit)
+    return jnp.any(hit)
+
+
+def _tri_validity(woop, nsq, tval, o4, d):
+    t, u, v, w_d = _pair_tuv(woop, o4, d)
+    det = w_d * nsq[None, :]
     valid = (
         (t > F32_EPSILON)
         & (u >= 0.0)
         & (v >= 0.0)
         & (u + v < 1.0)
         & (jnp.abs(det) > F32_EPSILON)
-        & (valid_ref[0, 0][None, :] != 0)
+        & (tval[None, :] != 0.0)
     )
-    if backface_culling:
-        tn = tnorm_ref[0]  # (3, B)
-        d = d_ref[:]
-        cos_dn = (
-            d[:, 0:1] * tn[0][None, :]
-            + d[:, 1:2] * tn[1][None, :]
-            + d[:, 2:3] * tn[2][None, :]
-        )
-        valid &= (cos_dn < 0.75) | (httr_ref[0, 0][None, :] != 0)
+    return t, valid
 
-    t = jnp.where(valid, t, INF)
-    tmin = jnp.min(t, axis=1, keepdims=True)  # (RT, 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-    idx = jnp.min(
-        jnp.where((t == tmin) & valid, cols + j * block_size, jnp.int32(BIG_IDX)),
-        axis=1,
-        keepdims=True,
+
+def _cos_planes(d, tn):
+    return (
+        d[:, 0:1] * tn[0][None, :]
+        + d[:, 1:2] * tn[1][None, :]
+        + d[:, 2:3] * tn[2][None, :]
     )
 
-    @pl.when(j == 0)
-    def _():
-        t_out[:] = tmin
-        idx_out[:] = idx
 
-    @pl.when(j > 0)
-    def _():
-        closer = tmin < t_out[:]
-        idx_out[:] = jnp.where(closer, idx, idx_out[:])
-        t_out[:] = jnp.where(closer, tmin, t_out[:])
+def _cast_kernel(
+    o4_ref, d_ref, woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, aabb_ref,
+    t_out, idx_out, *, nb, block_size, backface_culling, use_aabb,
+):
+    o4 = o4_ref[:]
+    d = d_ref[:]
+    o3 = o4[:, 0:3]
+    t_out[:] = jnp.full_like(t_out, INF)
+    idx_out[:] = jnp.full_like(idx_out, BIG_IDX)
+
+    def block_body(b, carry):
+        def compute(_):
+            woop = woop_ref[b]
+            t, valid = _tri_validity(woop, nsq_ref[b, 0], valid_ref[b, 0], o4, d)
+            if backface_culling:
+                cos_dn = _cos_planes(d, tnorm_ref[b])
+                valid &= (cos_dn < 0.75) | (httr_ref[b, 0][None, :] != 0.0)
+            t = jnp.where(valid, t, INF)
+            tmin = jnp.min(t, axis=1, keepdims=True)
+            cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            idx = jnp.min(
+                jnp.where(t == tmin, cols + b * block_size, jnp.int32(BIG_IDX)),
+                axis=1,
+                keepdims=True,
+            )
+            closer = tmin < t_out[:]
+            idx_out[:] = jnp.where(closer, idx, idx_out[:])
+            t_out[:] = jnp.where(closer, tmin, t_out[:])
+            return 0
+
+        if use_aabb:
+            # skip blocks farther than every ray's current best hit
+            cur = jnp.max(t_out[:])
+            hit = _block_aabb_hit(aabb_ref[b], o3, d, cur)
+            jax.lax.cond(hit, compute, lambda _: 0, 0)
+        else:
+            compute(0)
+        return carry
+
+    jax.lax.fori_loop(0, nb, block_body, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("backface_culling", "ray_tile", "interpret")
+    jax.jit,
+    static_argnames=("backface_culling", "ray_tile", "use_aabb", "interpret"),
 )
 def pallas_cast_triangles(
-    tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
-    o, d, backface_culling=False, ray_tile=256, interpret=False,
+    tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3, tri_aabb,
+    o, d, backface_culling=False, ray_tile=256, use_aabb=True, interpret=False,
 ):
-    """Nearest triangle hit: returns (t (R,), local_tri_idx (R,)).
-
-    tri_woop (nb, 12, B); tri_nsq/tri_valid/tri_httr (nb, B);
-    tri_normal3 (nb, 3, B). R must be a multiple of ray_tile.
-    """
+    """Nearest triangle hit: (t (R,), local_tri_idx (R,)). The whole
+    triangle SoA lives in VMEM; R must be a multiple of ray_tile."""
     R = o.shape[0]
     nb, _, B = tri_woop.shape
     assert R % ray_tile == 0, (R, ray_tile)
     o4 = jnp.concatenate([o, jnp.ones((R, 1), o.dtype)], axis=1)
 
-    grid = (R // ray_tile, nb)
+    def full(s):
+        return pl.BlockSpec(s, lambda i: tuple(0 for _ in s), memory_space=pltpu.VMEM)
+
+    def ray(s):
+        return pl.BlockSpec(s, lambda i: (i, 0), memory_space=pltpu.VMEM)
+
     t_out, idx_out = pl.pallas_call(
         functools.partial(
-            _cast_kernel, block_size=B, backface_culling=backface_culling
+            _cast_kernel,
+            nb=nb,
+            block_size=B,
+            backface_culling=backface_culling,
+            use_aabb=use_aabb,
         ),
-        grid=grid,
+        grid=(R // ray_tile,),
         in_specs=[
-            pl.BlockSpec((ray_tile, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 12, B), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, B), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            ray((ray_tile, 4)),
+            ray((ray_tile, 3)),
+            full((nb, 12, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 3, B)),
+            full((nb, 8)),
         ],
-        out_specs=[
-            pl.BlockSpec((ray_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[ray((ray_tile, 1)), ray((ray_tile, 1))],
         out_shape=[
             jax.ShapeDtypeStruct((R, 1), jnp.float32),
             jax.ShapeDtypeStruct((R, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(o4, d, tri_woop, tri_nsq[:, None], tri_valid[:, None], tri_httr[:, None], tri_normal3)
+    )(o4, d, tri_woop, tri_nsq[:, None], tri_valid[:, None], tri_httr[:, None],
+      tri_normal3, tri_aabb)
     return t_out[:, 0], idx_out[:, 0]
 
 
 def _occlude_kernel(
     o4_ref, d_ref, maxd_ref, woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref,
-    ior_ref, op_ref, met_ref, colr_ref, absn_ref,
-    dec_out, opq_out, fsub_out, *, backface_culling,
+    ior_ref, op_ref, met_ref, colr_ref, absn_ref, aabb_ref,
+    dec_out, opq_out, fsub_out, *, nb, backface_culling, use_aabb,
 ):
-    j = pl.program_id(1)
-    woop = woop_ref[0]
-    t, u, v, w_d = _pair_tuv(woop, o4_ref, d_ref)
-    det = w_d * nsq_ref[0, 0][None, :]
-    valid = (
-        (t > F32_EPSILON)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v < 1.0)
-        & (jnp.abs(det) > F32_EPSILON)
-        & (valid_ref[0, 0][None, :] != 0)
-    )
+    o4 = o4_ref[:]
     d = d_ref[:]
-    tn = tnorm_ref[0]
-    # cos(normal, -d) with the (possibly non-unit) shading normal
-    cos_nv = -(
-        d[:, 0:1] * tn[0][None, :]
-        + d[:, 1:2] * tn[1][None, :]
-        + d[:, 2:3] * tn[2][None, :]
-    )
-    httr = httr_ref[0, 0][None, :] != 0
-    if backface_culling:
-        valid &= (-cos_nv < 0.75) | httr
+    o3 = o4[:, 0:3]
+    maxd = maxd_ref[:]
+    dec_out[:] = jnp.zeros_like(dec_out)
+    opq_out[:] = jnp.zeros_like(opq_out)
+    fsub_out[:] = jnp.zeros_like(fsub_out)
 
-    hit = valid & (t <= maxd_ref[:])
+    def block_body(b, carry):
+        def compute(_):
+            woop = woop_ref[b]
+            t, valid = _tri_validity(woop, nsq_ref[b, 0], valid_ref[b, 0], o4, d)
+            tn = tnorm_ref[b]
+            cos_nv = -_cos_planes(d, tn)
+            httr = httr_ref[b, 0][None, :] != 0.0
+            if backface_culling:
+                valid &= (-cos_nv < 0.75) | httr
+            hit = valid & (t <= maxd)
 
-    # shadow Fresnel transmittance, red channel (material.rs:467-525 with
-    # other_ior=1; raytracer.rs:57-74)
-    ior = ior_ref[0, 0][None, :]
-    met = met_ref[0, 0][None, :]
-    col_r = colr_ref[0, 0][None, :]
-    opv = op_ref[0, 0][None, :]
-    cos_theta = jnp.abs(cos_nv)
-    is_inside = cos_nv < 0.0
-    eta_t = jnp.where(is_inside, ior, 1.0 / ior)
-    sin2_t = eta_t * eta_t * (1.0 - cos_theta * cos_theta)
-    is_refl = met > 0.0
-    is_tir = (httr & is_inside & (sin2_t > 1.0)) | is_refl
-    f0 = ((1.0 - ior) / (1.0 + ior)) ** 2
-    f0r = f0 + (col_r - f0) * met
-    om_cos = 1.0 - cos_theta
-    fres_r = f0r + (1.0 - f0r) * om_cos * om_cos * om_cos * om_cos * om_cos
-    f_r = jnp.where(is_tir, jnp.where(is_refl, met, 1.0), fres_r)
-    t_red = jnp.where(httr, 1.0 - f_r, 0.0)
-    io = jnp.where(httr, opv, 0.0) * t_red
+            # shadow Fresnel transmittance, red channel (material.rs:467-525
+            # with other_ior=1; raytracer.rs:57-74)
+            ior = ior_ref[b, 0][None, :]
+            met = met_ref[b, 0][None, :]
+            col_r = colr_ref[b, 0][None, :]
+            opv = op_ref[b, 0][None, :]
+            cos_theta = jnp.abs(cos_nv)
+            is_inside = cos_nv < 0.0
+            eta_t = jnp.where(is_inside, ior, 1.0 / ior)
+            sin2_t = eta_t * eta_t * (1.0 - cos_theta * cos_theta)
+            is_refl = met > 0.0
+            is_tir = (httr & is_inside & (sin2_t > 1.0)) | is_refl
+            f0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+            f0r = f0 + (col_r - f0) * met
+            omc = 1.0 - cos_theta
+            fres_r = f0r + (1.0 - f0r) * omc * omc * omc * omc * omc
+            f_r = jnp.where(is_tir, jnp.where(is_refl, met, 1.0), fres_r)
+            t_red = jnp.where(httr, 1.0 - f_r, 0.0)
+            io = jnp.where(httr, opv, 0.0) * t_red
 
-    hit_f = jnp.where(hit, 1.0, 0.0)
-    dec = jnp.sum(hit_f * (1.0 - io), axis=1, keepdims=True)  # (RT,1)
-    opq = jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=1, keepdims=True)
-    absn = absn_ref[0]  # (3, B)
-    fr = jnp.sum(hit_f * absn[0][None, :], axis=1, keepdims=True)
-    fg = jnp.sum(hit_f * absn[1][None, :], axis=1, keepdims=True)
-    fb = jnp.sum(hit_f * absn[2][None, :], axis=1, keepdims=True)
-    fsub = jnp.concatenate([fr, fg, fb], axis=1)  # (RT,3)
+            hit_f = jnp.where(hit, 1.0, 0.0)
+            dec_out[:] += jnp.sum(hit_f * (1.0 - io), axis=1, keepdims=True)
+            opq_out[:] = jnp.maximum(
+                opq_out[:],
+                jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=1, keepdims=True),
+            )
+            absn = absn_ref[b]
+            fr = jnp.sum(hit_f * absn[0][None, :], axis=1, keepdims=True)
+            fg = jnp.sum(hit_f * absn[1][None, :], axis=1, keepdims=True)
+            fb = jnp.sum(hit_f * absn[2][None, :], axis=1, keepdims=True)
+            fsub_out[:] += jnp.concatenate([fr, fg, fb], axis=1)
+            return 0
 
-    @pl.when(j == 0)
-    def _():
-        dec_out[:] = dec
-        opq_out[:] = opq
-        fsub_out[:] = fsub
+        if use_aabb:
+            hit = _block_aabb_hit(aabb_ref[b], o3, d, jnp.max(maxd))
+            jax.lax.cond(hit, compute, lambda _: 0, 0)
+        else:
+            compute(0)
+        return carry
 
-    @pl.when(j > 0)
-    def _():
-        dec_out[:] += dec
-        opq_out[:] = jnp.maximum(opq_out[:], opq)
-        fsub_out[:] += fsub
+    jax.lax.fori_loop(0, nb, block_body, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("backface_culling", "ray_tile", "interpret")
+    jax.jit,
+    static_argnames=("backface_culling", "ray_tile", "use_aabb", "interpret"),
 )
 def pallas_occlude_triangles(
     tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
-    tri_ior, tri_op, tri_met, tri_colr, tri_absn,
-    o, d, max_distance, backface_culling=False, ray_tile=256, interpret=False,
+    tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb,
+    o, d, max_distance, backface_culling=False, ray_tile=256, use_aabb=True,
+    interpret=False,
 ):
     """Shadow accumulators over triangle blocks: returns
     (opacity_decrement_sum (R,), any_opaque (R,) bool, filter_sub (R,3))."""
@@ -233,31 +265,40 @@ def pallas_occlude_triangles(
     o4 = jnp.concatenate([o, jnp.ones((R, 1), o.dtype)], axis=1)
     maxd = max_distance[:, None]
 
-    grid = (R // ray_tile, nb)
-    blk2 = lambda i, j: (j, 0, 0)
-    ray1 = lambda i, j: (i, 0)
+    def full(s):
+        return pl.BlockSpec(s, lambda i: tuple(0 for _ in s), memory_space=pltpu.VMEM)
+
+    def ray(s):
+        return pl.BlockSpec(s, lambda i: (i, 0), memory_space=pltpu.VMEM)
+
     dec, opq, fsub = pl.pallas_call(
-        functools.partial(_occlude_kernel, backface_culling=backface_culling),
-        grid=grid,
+        functools.partial(
+            _occlude_kernel,
+            nb=nb,
+            backface_culling=backface_culling,
+            use_aabb=use_aabb,
+        ),
+        grid=(R // ray_tile,),
         in_specs=[
-            pl.BlockSpec((ray_tile, 4), ray1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile, 3), ray1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile, 1), ray1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 12, B), blk2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), blk2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), blk2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), blk2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, B), blk2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), blk2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), blk2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), blk2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), blk2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, B), blk2, memory_space=pltpu.VMEM),
+            ray((ray_tile, 4)),
+            ray((ray_tile, 3)),
+            ray((ray_tile, 1)),
+            full((nb, 12, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 3, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 3, B)),
+            full((nb, 8)),
         ],
         out_specs=[
-            pl.BlockSpec((ray_tile, 1), ray1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile, 1), ray1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile, 3), ray1, memory_space=pltpu.VMEM),
+            ray((ray_tile, 1)),
+            ray((ray_tile, 1)),
+            ray((ray_tile, 3)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((R, 1), jnp.float32),
@@ -269,6 +310,6 @@ def pallas_occlude_triangles(
         o4, d, maxd, tri_woop, tri_nsq[:, None], tri_valid[:, None],
         tri_httr[:, None], tri_normal3,
         tri_ior[:, None], tri_op[:, None], tri_met[:, None], tri_colr[:, None],
-        tri_absn,
+        tri_absn, tri_aabb,
     )
     return dec[:, 0], opq[:, 0] > 0.0, fsub

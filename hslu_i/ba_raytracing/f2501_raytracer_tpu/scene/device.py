@@ -36,6 +36,32 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def morton_order(centroids: np.ndarray) -> np.ndarray:
+    """Z-order permutation of triangle centroids (native lib or numpy).
+    Spatially-local triangles land in the same 128/256-triangle block, which
+    makes per-block AABBs tight — the basis for cluster culling."""
+    from ..utils.native import native_morton_order
+
+    order = native_morton_order(centroids)
+    if order is not None:
+        return order.astype(np.int64)
+
+    lo = centroids.min(axis=0)
+    rng = np.maximum(centroids.max(axis=0) - lo, 1e-30)
+    q = ((centroids - lo) / rng * 1023.0).astype(np.uint64)
+
+    def expand(v):
+        v &= 0x3FF
+        v = (v | (v << 16)) & 0x30000FF
+        v = (v | (v << 8)) & 0x300F00F
+        v = (v | (v << 4)) & 0x30C30C3
+        v = (v | (v << 2)) & 0x9249249
+        return v
+
+    code = expand(q[:, 0]) | (expand(q[:, 1]) << 1) | (expand(q[:, 2]) << 2)
+    return np.argsort(code, kind="stable")
+
+
 def compute_woop_transforms(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray):
     """Batch Woop transforms for T triangles: (T,4,3) [A^T | b], |ñ|^2 (T,),
     valid (T,). Uses the native host library when available, else vectorized
@@ -82,6 +108,7 @@ class DeviceScene:
     tri_met: jax.Array  # (nb, B) metallic
     tri_colr: jax.Array  # (nb, B) color red channel (shadow fresnel)
     tri_absn: jax.Array  # (nb, 3, B) absorption planes
+    tri_aabb: jax.Array  # (nb, 8) per-block AABB: min xyz, max xyz, pad
 
     # per-object materials, global index space (S + nb*B entries)
     mat_color: jax.Array  # (N, 3)
@@ -147,7 +174,15 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     woop4[:, 2, 2] = 1.0
     woop4[:, 3, :] = (0.0, 0.0, 1e8)
 
+    aabb = np.zeros((nb, 8), np.float32)
+    aabb[:, 0:3] = 1e8  # empty blocks: inverted (never hit) AABB
+    aabb[:, 3:6] = -1e8
     if T:
+        # Morton-sort triangles so each block is spatially tight
+        cent = np.stack([t.get_center() for t in triangles]).astype(np.float32)
+        order = morton_order(cent)
+        triangles = [triangles[i] for i in order]
+
         v1 = np.stack([t.vertex1 for t in triangles]).astype(np.float64)
         v2 = np.stack([t.vertex2 for t in triangles]).astype(np.float64)
         v3 = np.stack([t.vertex3 for t in triangles]).astype(np.float64)
@@ -156,6 +191,14 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         nsq[:T][ok] = n2[ok]
         tnormal[:T] = np.stack([t.normal for t in triangles]).astype(np.float32)
         tvalid[:T] = ok
+        allv = np.stack([v1, v2, v3], axis=1).astype(np.float32)  # (T,3,3)
+        for blk in range(nb):
+            lo_i, hi_i = blk * B, min((blk + 1) * B, T)
+            if hi_i <= lo_i:
+                continue
+            vs = allv[lo_i:hi_i].reshape(-1, 3)
+            aabb[blk, 0:3] = vs.min(axis=0)
+            aabb[blk, 3:6] = vs.max(axis=0)
 
     mat_color = np.zeros((N, 3), np.float32)
     mat_metallic = np.zeros((N,), np.float32)
@@ -220,6 +263,7 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         tri_met=jnp.asarray(planar(mat_metallic[tri_slice])),
         tri_colr=jnp.asarray(planar(mat_color[tri_slice, 0])),
         tri_absn=jnp.asarray(planar(mat_absorption[tri_slice])),
+        tri_aabb=jnp.asarray(aabb),
         mat_color=jnp.asarray(mat_color),
         mat_metallic=jnp.asarray(mat_metallic),
         mat_shininess=jnp.asarray(mat_shininess),
