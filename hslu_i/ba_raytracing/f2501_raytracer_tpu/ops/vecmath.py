@@ -56,3 +56,38 @@ def refracted(i, n, eta):
 
 def lerp(a, b, t):
     return a + (b - a) * t
+
+
+import dataclasses as _dataclasses
+
+import jax as _jax
+
+
+@_jax.tree_util.register_dataclass
+@_dataclasses.dataclass(frozen=True)
+class Ray:
+    """Wavefront ray record (ref geometry/ray.rs:9-18): origins, normalized
+    directions, the refraction index of the current medium, and per-ray
+    validity. The invalid-lane sentinel is +inf (ray.rs:77-94)."""
+
+    origin: _jax.Array  # (R, 3)
+    direction: _jax.Array  # (R, 3), normalized on construction
+    refraction_index: _jax.Array  # (R,)
+    valid_mask: _jax.Array  # (R,) bool
+
+    @classmethod
+    def new(cls, origin, direction, refraction_index, valid_mask=None):
+        import jax.numpy as jnp
+
+        direction = normalized(direction)
+        if valid_mask is None:
+            valid_mask = jnp.ones(origin.shape[:-1], bool)
+        return cls(origin, direction, refraction_index, valid_mask)
+
+    def at(self, t):
+        """dir*t + origin (ray.rs:60-66)."""
+        return self.direction * t[..., None] + self.origin
+
+    @staticmethod
+    def invalid_value():
+        return float("inf")

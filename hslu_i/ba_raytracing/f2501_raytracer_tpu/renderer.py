@@ -23,7 +23,7 @@ from .ops.camera import antialiasing_offsets, pixel_scene_coords
 from .ops.trace import trace_rays
 from .scene.builder import Scene
 from .scene.device import DeviceScene, build_device_scene
-from .utils.timing import RenderTiming
+from .utils.timing import RenderTiming, TileStats
 
 
 class RaytracerRenderer:
@@ -49,6 +49,7 @@ class RaytracerRenderer:
         H, W = cfg.height, cfg.width
         cam = cfg.camera
         timing = RenderTiming()
+        stats = TileStats()  # per-tile seconds (ref renderer/mod.rs:39-78)
 
         aa = cfg.total_aa_rays if cfg.anti_aliasing else 1
         offsets = (
@@ -68,7 +69,10 @@ class RaytracerRenderer:
         flat_valid = buf.valid.reshape(-1)
         focus = np.asarray(cam.render_ray_focus, np.float32)
 
+        import time as _time
+
         for start in range(0, total_pixels, pix_per_tile):
+            t_tile = _time.monotonic()
             end = min(start + pix_per_tile, total_pixels)
             n = end - start
             coords = pixel_scene_coords(cfg, px[start:end], py[start:end])  # (n,3)
@@ -96,10 +100,12 @@ class RaytracerRenderer:
             flat_color[start:end][tile_valid] = tile_color[tile_valid]
             flat_valid[start:end] |= tile_valid
 
+            stats.push(_time.monotonic() - t_tile)
             if progress is not None:
                 timing.next()
                 progress(buf, end / total_pixels)
 
         timing.next()
         buf.timing = timing
+        buf.tile_stats = stats
         return buf
