@@ -57,6 +57,8 @@ def main():
         tile_rays=int(os.environ.get("BENCH_TILE", 65536)),
         max_nodes=int(os.environ.get("BENCH_MAX_NODES", 48)),
         weight_cutoff=float(os.environ.get("BENCH_WEIGHT_CUTOFF", 1e-3)),
+        use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
+        compaction_ratio=int(os.environ.get("BENCH_COMPACT", 4)),
     )
 
     scene = build("semesterbild", cfg)

@@ -51,6 +51,10 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
     Returns (contribution (R,3), primary_hit_valid (R,), refl_push, refr_push)
     where each push is a dict of per-ray child-entry fields + a `mask`.
     """
+    # park inactive lanes on a far-away miss ray: keeps the math finite and
+    # lets the Pallas block-AABB cull skip tiles of dead rays for free
+    o = jnp.where(active[:, None], o, jnp.float32(1e9))
+    d = jnp.where(active[:, None], d, jnp.float32([0.0, 0.0, 1.0])[None, :])
     hit = cast_rays(scene, o, d, cfg.backface_culling, cfg.use_pallas, cfg.interpret)
     hval = hit.valid & active
     hit = dataclasses.replace(hit, valid=hval)
@@ -266,7 +270,14 @@ def _body_compacted(scene, cfg, eps_dist, W, s):
     pending rays to the front. Valid because every node contribution carries
     its full path weight: evaluation order never changes the sum."""
     active_all = s["sp"] > 0
-    perm = jnp.argsort(~active_all)  # stable: active pixel indices first
+    # stable partition via cumsum (cheaper than argsort on TPU): active
+    # pixel indices first, preserving pixel order for ray coherence
+    R = active_all.shape[0]
+    act_rank = jnp.cumsum(active_all.astype(jnp.int32)) - 1
+    n_active = act_rank[-1] + 1
+    inact_rank = jnp.cumsum((~active_all).astype(jnp.int32)) - 1
+    pos = jnp.where(active_all, act_rank, n_active + inact_rank)
+    perm = jnp.zeros((R,), jnp.int32).at[pos].set(jnp.arange(R, dtype=jnp.int32))
     sel = perm[:W]
     sel_active = jnp.take(active_all, sel)
 

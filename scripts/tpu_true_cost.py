@@ -1,0 +1,57 @@
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+from functools import partial
+from hslu_i.ba_raytracing.f2501_raytracer_tpu import RenderConfig, build_device_scene
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.models import build
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import pixel_scene_coords
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.pallas_kernels import pallas_cast_triangles
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.intersect import _tri_nearest_xla
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.vecmath import normalized
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
+
+def timeit(name, fn, *args, reps=5):
+    out = fn(*args); jax.block_until_ready(out)
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.monotonic(); out = fn(*args); jax.block_until_ready(out)
+        best = min(best, time.monotonic() - t0)
+    print(f"{name}: {best*1e3:.3f} ms", flush=True)
+    return out
+
+# 1. trivial op baseline (dispatch overhead)
+x = jnp.ones((8, 128))
+timeit("trivial add", jax.jit(lambda a: a + 1.0), x)
+
+W, H = 240, 135
+cfg = RenderConfig(width=W, height=H, scene_backface_culling=True)
+scene = build("semesterbild", cfg)
+scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
+ds = build_device_scene(scene, cfg)
+px, py = np.meshgrid(np.arange(W), np.arange(H))
+coords = pixel_scene_coords(cfg, px.reshape(-1), py.reshape(-1))
+dirs = (coords - np.asarray(cfg.camera.render_ray_focus, np.float32)).astype(np.float32)
+R = 32256
+o = jnp.asarray(coords[:R]); d = normalized(jnp.asarray(dirs[:R]))
+
+# 2. N casts inside ONE jit (amortize dispatch)
+@partial(jax.jit, static_argnames=("n","pallas"))
+def multi_cast(ds, o, d, n, pallas):
+    def body(i, acc):
+        if pallas:
+            t, idx = pallas_cast_triangles(
+                ds.tri_woop, ds.tri_nsq, ds.tri_valid_f, ds.tri_httr_f,
+                ds.tri_normal3, ds.tri_aabb, o + acc * 1e-9, d)
+        else:
+            o4 = jnp.concatenate([o + acc * 1e-9, jnp.ones((o.shape[0],1))], axis=1)
+            t, idx = _tri_nearest_xla(ds, o4, d, False)
+        return acc + jnp.sum(t[:8]) * 1e-20
+    return jax.lax.fori_loop(0, n, body, 0.0)
+
+for pallas in (False, True):
+    for n in (1, 10):
+        timeit(f"{'pallas' if pallas else 'xla'} cast x{n} (1 jit)", multi_cast, ds, o, d, n, pallas)
