@@ -38,7 +38,7 @@ def main():
     )
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.models import build
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import pixel_scene_coords
-    from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays_tiled
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
 
     small = os.environ.get("BENCH_SMALL") == "1"
@@ -80,9 +80,9 @@ def main():
     d_tiles = jnp.asarray(dirs.reshape(n_tiles, tile, 3))
 
     def frame():
-        outs = []
-        for i in range(n_tiles):
-            outs.append(trace_rays(dscene, cfg, o_tiles[i], d_tiles[i]))
+        # whole frame as ONE program: per-launch overhead is high on
+        # remote-attached TPUs
+        outs = trace_rays_tiled(dscene, cfg, o_tiles, d_tiles)
         jax.block_until_ready(outs)
         return outs
 

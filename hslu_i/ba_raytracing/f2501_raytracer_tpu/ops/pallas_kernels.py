@@ -97,7 +97,10 @@ def _cast_kernel(
     t_out[:] = jnp.full_like(t_out, INF)
     idx_out[:] = jnp.full_like(idx_out, BIG_IDX)
 
-    def block_body(b, carry):
+    def block_body(b):
+        # NB: b is a python int — dynamic VMEM indexing (traced b) costs
+        # ~milliseconds per access on TPU; the unrolled loop keeps every
+        # ref slice static
         def compute(_):
             woop = woop_ref[b]
             t, valid = _tri_validity(woop, nsq_ref[b, 0], valid_ref[b, 0], o4, d)
@@ -124,9 +127,9 @@ def _cast_kernel(
             jax.lax.cond(hit, compute, lambda _: 0, 0)
         else:
             compute(0)
-        return carry
 
-    jax.lax.fori_loop(0, nb, block_body, 0)
+    for b in range(nb):
+        block_body(b)
 
 
 @functools.partial(
@@ -193,7 +196,7 @@ def _occlude_kernel(
     opq_out[:] = jnp.zeros_like(opq_out)
     fsub_out[:] = jnp.zeros_like(fsub_out)
 
-    def block_body(b, carry):
+    def block_body(b):
         def compute(_):
             woop = woop_ref[b]
             t, valid = _tri_validity(woop, nsq_ref[b, 0], valid_ref[b, 0], o4, d)
@@ -242,9 +245,9 @@ def _occlude_kernel(
             jax.lax.cond(hit, compute, lambda _: 0, 0)
         else:
             compute(0)
-        return carry
 
-    jax.lax.fori_loop(0, nb, block_body, 0)
+    for b in range(nb):
+        block_body(b)
 
 
 @functools.partial(

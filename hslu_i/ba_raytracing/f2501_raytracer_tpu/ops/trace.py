@@ -189,6 +189,20 @@ def _pop(state):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def trace_rays_tiled(scene: DeviceScene, cfg: RenderConfig, o_tiles, d_tiles):
+    """Trace (n_tiles, T, 3) ray tiles inside ONE program (`lax.map`).
+
+    Per-program dispatch is expensive on remote-attached TPUs; a full frame
+    should be a single executable, not one launch per tile."""
+
+    def per_tile(od):
+        o, d = od
+        return trace_rays.__wrapped__(scene, cfg, o, d)
+
+    return jax.lax.map(per_tile, (o_tiles, d_tiles))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions):
     """Trace R rays to final linear-RGB colors.
 

@@ -1,5 +1,10 @@
 """Top-level renderer: tiling, AA sample expansion, host assembly.
 
+When no progress callback is given the whole frame is traced as ONE
+program (`lax.map` over tiles) — per-program dispatch is expensive on
+remote-attached TPUs; with a callback, tiles launch individually and commit
+progressively like the reference's producer/consumer window.
+
 The analogue of the reference's `RaytracerRenderer` + `Renderer` trait
 (ref renderer/raytracer_renderer.rs:1140-1379, renderer/mod.rs:80-210): the
 reference chops the image into cache-line/SIMD-aligned RENDER_STRIDE tiles
@@ -20,7 +25,7 @@ import numpy as np
 from .config import RenderConfig
 from .framebuffer import ImageBuffer
 from .ops.camera import antialiasing_offsets, pixel_scene_coords
-from .ops.trace import trace_rays
+from .ops.trace import trace_rays, trace_rays_tiled
 from .scene.builder import Scene
 from .scene.device import DeviceScene, build_device_scene
 from .utils.timing import RenderTiming, TileStats
@@ -70,6 +75,43 @@ class RaytracerRenderer:
         focus = np.asarray(cam.render_ray_focus, np.float32)
 
         import time as _time
+
+        if progress is None:
+            # one fused program for the whole frame
+            n_tiles = (total_pixels + pix_per_tile - 1) // pix_per_tile
+            o_all = np.zeros((n_tiles, pix_per_tile * aa, 3), np.float32)
+            d_all = np.tile(np.float32([0, 0, 1]), (n_tiles, pix_per_tile * aa, 1))
+            for ti in range(n_tiles):
+                start = ti * pix_per_tile
+                end = min(start + pix_per_tile, total_pixels)
+                n = end - start
+                coords = pixel_scene_coords(cfg, px[start:end], py[start:end])
+                dirs = coords - focus[None, :]
+                o_all[ti, : n * aa] = (
+                    coords[:, None, :] + offsets[None, :, :]
+                ).reshape(-1, 3)
+                d_all[ti, : n * aa] = np.broadcast_to(
+                    dirs[:, None, :], (n, aa, 3)
+                ).reshape(-1, 3)
+            color, valid = trace_rays_tiled(
+                dscene, cfg, jax.numpy.asarray(o_all), jax.numpy.asarray(d_all)
+            )
+            color = np.asarray(color).reshape(n_tiles * pix_per_tile, aa, 3)[
+                :total_pixels
+            ]
+            valid = np.asarray(valid).reshape(n_tiles * pix_per_tile, aa)[
+                :total_pixels
+            ]
+            frame_color = np.where(valid[..., None], color, 0.0).sum(
+                axis=1
+            ) / np.float32(aa)
+            frame_valid = valid.any(axis=1)
+            flat_color[frame_valid] = frame_color[frame_valid]
+            flat_valid |= frame_valid
+            timing.next()
+            buf.timing = timing
+            buf.tile_stats = stats
+            return buf
 
         for start in range(0, total_pixels, pix_per_tile):
             t_tile = _time.monotonic()
