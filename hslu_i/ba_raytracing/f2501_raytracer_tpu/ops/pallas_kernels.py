@@ -94,14 +94,16 @@ def _cast_kernel(
     o4 = o4_ref[:]
     d = d_ref[:]
     o3 = o4[:, 0:3]
-    t_out[:] = jnp.full_like(t_out, INF)
-    idx_out[:] = jnp.full_like(idx_out, BIG_IDX)
+    RT = o4.shape[0]
+    # running minimum carried in registers; outputs written once at the end.
+    # NB: block indices are python ints — dynamic VMEM indexing (traced
+    # index) costs ~milliseconds per access on TPU.
+    best_t = jnp.full((RT, 1), INF, jnp.float32)
+    best_idx = jnp.full((RT, 1), BIG_IDX, jnp.int32)
 
-    def block_body(b):
-        # NB: b is a python int — dynamic VMEM indexing (traced b) costs
-        # ~milliseconds per access on TPU; the unrolled loop keeps every
-        # ref slice static
-        def compute(_):
+    for b in range(nb):
+
+        def compute(_, b=b):
             woop = woop_ref[b]
             t, valid = _tri_validity(woop, nsq_ref[b, 0], valid_ref[b, 0], o4, d)
             if backface_culling:
@@ -115,21 +117,26 @@ def _cast_kernel(
                 axis=1,
                 keepdims=True,
             )
-            closer = tmin < t_out[:]
-            idx_out[:] = jnp.where(closer, idx, idx_out[:])
-            t_out[:] = jnp.where(closer, tmin, t_out[:])
-            return 0
+            return tmin, idx
 
         if use_aabb:
             # skip blocks farther than every ray's current best hit
-            cur = jnp.max(t_out[:])
-            hit = _block_aabb_hit(aabb_ref[b], o3, d, cur)
-            jax.lax.cond(hit, compute, lambda _: 0, 0)
+            hit = _block_aabb_hit(aabb_ref[b], o3, d, jnp.max(best_t))
+            tmin, idx = jax.lax.cond(
+                hit,
+                compute,
+                lambda _: (jnp.full((RT, 1), INF, jnp.float32),
+                           jnp.full((RT, 1), BIG_IDX, jnp.int32)),
+                0,
+            )
         else:
-            compute(0)
+            tmin, idx = compute(0)
+        closer = tmin < best_t
+        best_idx = jnp.where(closer, idx, best_idx)
+        best_t = jnp.where(closer, tmin, best_t)
 
-    for b in range(nb):
-        block_body(b)
+    t_out[:] = best_t
+    idx_out[:] = best_idx
 
 
 @functools.partial(
@@ -192,12 +199,15 @@ def _occlude_kernel(
     d = d_ref[:]
     o3 = o4[:, 0:3]
     maxd = maxd_ref[:]
-    dec_out[:] = jnp.zeros_like(dec_out)
-    opq_out[:] = jnp.zeros_like(opq_out)
-    fsub_out[:] = jnp.zeros_like(fsub_out)
+    RT = o4.shape[0]
+    dec = jnp.zeros((RT, 1), jnp.float32)
+    opq = jnp.zeros((RT, 1), jnp.float32)
+    fsub = jnp.zeros((RT, 3), jnp.float32)
+    maxd_all = jnp.max(maxd)
 
-    def block_body(b):
-        def compute(_):
+    for b in range(nb):
+
+        def compute(_, b=b):
             woop = woop_ref[b]
             t, valid = _tri_validity(woop, nsq_ref[b, 0], valid_ref[b, 0], o4, d)
             tn = tnorm_ref[b]
@@ -228,26 +238,33 @@ def _occlude_kernel(
             io = jnp.where(httr, opv, 0.0) * t_red
 
             hit_f = jnp.where(hit, 1.0, 0.0)
-            dec_out[:] += jnp.sum(hit_f * (1.0 - io), axis=1, keepdims=True)
-            opq_out[:] = jnp.maximum(
-                opq_out[:],
-                jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=1, keepdims=True),
-            )
+            d_dec = jnp.sum(hit_f * (1.0 - io), axis=1, keepdims=True)
+            d_opq = jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=1, keepdims=True)
             absn = absn_ref[b]
             fr = jnp.sum(hit_f * absn[0][None, :], axis=1, keepdims=True)
             fg = jnp.sum(hit_f * absn[1][None, :], axis=1, keepdims=True)
             fb = jnp.sum(hit_f * absn[2][None, :], axis=1, keepdims=True)
-            fsub_out[:] += jnp.concatenate([fr, fg, fb], axis=1)
-            return 0
+            return d_dec, d_opq, jnp.concatenate([fr, fg, fb], axis=1)
 
         if use_aabb:
-            hit = _block_aabb_hit(aabb_ref[b], o3, d, jnp.max(maxd))
-            jax.lax.cond(hit, compute, lambda _: 0, 0)
+            hit = _block_aabb_hit(aabb_ref[b], o3, d, maxd_all)
+            d_dec, d_opq, d_fsub = jax.lax.cond(
+                hit,
+                compute,
+                lambda _: (jnp.zeros((RT, 1), jnp.float32),
+                           jnp.zeros((RT, 1), jnp.float32),
+                           jnp.zeros((RT, 3), jnp.float32)),
+                0,
+            )
         else:
-            compute(0)
+            d_dec, d_opq, d_fsub = compute(0)
+        dec = dec + d_dec
+        opq = jnp.maximum(opq, d_opq)
+        fsub = fsub + d_fsub
 
-    for b in range(nb):
-        block_body(b)
+    dec_out[:] = dec
+    opq_out[:] = opq
+    fsub_out[:] = fsub
 
 
 @functools.partial(
