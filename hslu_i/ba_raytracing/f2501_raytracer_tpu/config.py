@@ -137,7 +137,9 @@ class RenderConfig:
     weight_cutoff: float = 1e-4  # prune children with weight below this
     triangle_block: int = 512  # triangles per matmul block
     interpret: bool = False  # pallas interpreter mode (CPU tests)
-    use_pallas: bool = False  # use pallas kernels where available
+    # None = auto (pallas on TPU backends, XLA elsewhere); the renderer and
+    # bench resolve it via resolve_use_pallas()
+    use_pallas: "bool | None" = None
 
     def __post_init__(self):
         if self.anti_aliasing_rotation_scale or self.anti_aliasing_randomness:
@@ -154,6 +156,16 @@ class RenderConfig:
     @property
     def camera(self) -> CameraSpec:
         return CameraSpec(self.width, self.height)
+
+    def resolve_use_pallas(self) -> "RenderConfig":
+        """Resolve use_pallas=None by backend: the fused Pallas kernels are
+        the TPU path; CPU/interpret runs keep the XLA reference path."""
+        if self.use_pallas is not None:
+            return self
+        import jax
+
+        on_tpu = jax.default_backend() not in ("cpu",)
+        return dataclasses.replace(self, use_pallas=on_tpu)
 
     @property
     def reflection_max_depth(self) -> int:

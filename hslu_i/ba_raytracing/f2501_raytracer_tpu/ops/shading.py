@@ -91,7 +91,7 @@ def calculate_lighting(
             light_dir,
             max_dist,
             cfg.backface_culling,
-            cfg.use_pallas,
+            bool(cfg.use_pallas),
             cfg.interpret,
         )
         can_reach = ~occluded & valid

@@ -55,7 +55,7 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
     # lets the Pallas block-AABB cull skip tiles of dead rays for free
     o = jnp.where(active[:, None], o, jnp.float32(1e9))
     d = jnp.where(active[:, None], d, jnp.float32([0.0, 0.0, 1.0])[None, :])
-    hit = cast_rays(scene, o, d, cfg.backface_culling, cfg.use_pallas, cfg.interpret)
+    hit = cast_rays(scene, o, d, cfg.backface_culling, bool(cfg.use_pallas), cfg.interpret)
     hval = hit.valid & active
     hit = dataclasses.replace(hit, valid=hval)
 

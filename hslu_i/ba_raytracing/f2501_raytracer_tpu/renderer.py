@@ -33,7 +33,7 @@ from .utils.timing import RenderTiming, TileStats
 
 class RaytracerRenderer:
     def __init__(self, cfg: RenderConfig):
-        self.cfg = cfg
+        self.cfg = cfg.resolve_use_pallas()
 
     def render(
         self,
