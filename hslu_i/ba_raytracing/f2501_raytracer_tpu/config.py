@@ -125,6 +125,12 @@ class RenderConfig:
     # and per *pixel* (light clouds); we precompute deterministically.
     seed: int = 0
 
+    # AA direction-cycling width: the reference's scalar build (its default)
+    # restarts the 8-direction cycle every packet, so packet width 1 means
+    # every sample uses direction 0; the simd_render build cycles all 8
+    # (ops/camera.py). 1 reproduces the golden image's build.
+    aa_packet_lanes: int = 1
+
     # engine knobs (TPU-side; no reference equivalent)
     tile_rays: int = 8192  # rays per traced batch
     stack_size: int = 24  # wavefront DFS stack slots (>= max depth + 1)

@@ -58,7 +58,7 @@ class RaytracerRenderer:
 
         aa = cfg.total_aa_rays if cfg.anti_aliasing else 1
         offsets = (
-            antialiasing_offsets(cfg)
+            antialiasing_offsets(cfg, cfg.aa_packet_lanes)
             if cfg.anti_aliasing
             else np.zeros((1, 3), np.float32)
         )

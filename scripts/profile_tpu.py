@@ -41,7 +41,7 @@ def main():
     cfg = RenderConfig(
         width=W, height=H, reflections=True, refractions=True,
         scene_backface_culling=True, tile_rays=65536, max_nodes=48,
-        weight_cutoff=1e-3,
+        weight_cutoff=1e-3, use_pallas=True,
     )
     scene = build("semesterbild", cfg)
     scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
@@ -51,15 +51,15 @@ def main():
     px, py = np.meshgrid(np.arange(W), np.arange(H))
     coords = pixel_scene_coords(cfg, px.reshape(-1), py.reshape(-1))
     dirs = (coords - np.asarray(cfg.camera.render_ray_focus, np.float32)).astype(np.float32)
-    R = min(32768, coords.shape[0])
+    R = 31744
     o = jnp.asarray(coords[:R])
     d = normalized(jnp.asarray(dirs[:R]))
 
-    hit = timeit("cast_rays 32k", cast_rays, ds, o, d, False)
+    hit = timeit("cast_rays 32k", cast_rays, ds, o, d, False, True)
     md = jnp.full((R,), 2.0)
-    timeit("occlude_rays 32k", occlude_rays, ds, o, d, md, False)
+    timeit("occlude_rays 32k", occlude_rays, ds, o, d, md, False, True)
 
-    for mn in (0, 4, 16, 48):
+    for mn in (0, 1, 2, 4, 16, 48):
         c = RenderConfig(**{**cfg.__dict__, "max_nodes": mn})
         timeit(f"trace max_nodes={mn}", trace_rays, ds, c, o, jnp.asarray(dirs[:R]), reps=2)
 
