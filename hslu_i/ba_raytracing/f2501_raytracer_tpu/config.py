@@ -125,6 +125,12 @@ class RenderConfig:
     # and per *pixel* (light clouds); we precompute deterministically.
     seed: int = 0
 
+    # dev toggles mirrored from the reference's cargo features
+    # (ref Cargo.toml:66-67): slow-render makes progressive preview visible,
+    # timing-debug prints per-tile stats after the render
+    simulate_slow_render: bool = False
+    render_timing_debug: bool = False
+
     # AA direction-cycling width: the reference's scalar build (its default)
     # restarts the 8-direction cycle every packet, so packet width 1 means
     # every sample uses direction 0; the simd_render build cycles all 8

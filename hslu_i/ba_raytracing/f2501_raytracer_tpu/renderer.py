@@ -142,6 +142,8 @@ class RaytracerRenderer:
             flat_color[start:end][tile_valid] = tile_color[tile_valid]
             flat_valid[start:end] |= tile_valid
 
+            if cfg.simulate_slow_render:  # ref renderer/mod.rs:126-129
+                _time.sleep(70e-6 * n)
             stats.push(_time.monotonic() - t_tile)
             if progress is not None:
                 timing.next()
@@ -150,4 +152,6 @@ class RaytracerRenderer:
         timing.next()
         buf.timing = timing
         buf.tile_stats = stats
+        if cfg.render_timing_debug:  # ref renderer/mod.rs:39-78
+            stats.print()
         return buf
