@@ -247,7 +247,11 @@ def _occlude_kernel(
             return d_dec, d_opq, jnp.concatenate([fr, fg, fb], axis=1)
 
         if use_aabb:
-            hit = _block_aabb_hit(aabb_ref[b], o3, d, maxd_all)
+            # skip when no ray reaches the block OR every ray is already
+            # fully occluded by an opaque hit — the reference's early-exit
+            # (raytracer.rs:94-96); outputs for occluded rays are unused
+            # downstream (light_valid is false), so this is result-exact
+            hit = _block_aabb_hit(aabb_ref[b], o3, d, maxd_all) & (jnp.min(opq) < 1.0)
             d_dec, d_opq, d_fsub = jax.lax.cond(
                 hit,
                 compute,
