@@ -147,6 +147,11 @@ class RenderConfig:
     # 1 disables compaction; 4 is a good default once most rays die young.
     compaction_ratio: int = 4
     weight_cutoff: float = 1e-4  # prune children with weight below this
+    # iterations per while-loop step: a data-dependent while_loop syncs with
+    # the host every iteration on remote-attached TPUs (~10-45 ms each!);
+    # running loop_chunk fori iterations per while step amortizes the sync
+    # while keeping the early exit (an all-dead iteration is a cheap no-op)
+    loop_chunk: int = 8
     triangle_block: int = 512  # triangles per matmul block
     interpret: bool = False  # pallas interpreter mode (CPU tests)
     # None = auto (pallas on TPU backends, XLA elsewhere); the renderer and

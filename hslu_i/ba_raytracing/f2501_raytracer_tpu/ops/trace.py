@@ -251,15 +251,23 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions):
         if ratio > 1 and R > 256 * ratio:
             W = max((R // ratio) // 256 * 256, 256)
             max_iters = cfg.max_nodes * ratio
-            body = partial(_body_compacted, scene, cfg, eps_dist, W)
+            body_one = partial(_body_compacted, scene, cfg, eps_dist, W)
         else:
             max_iters = cfg.max_nodes
-            body = partial(_body_full, scene, cfg, eps_dist)
+            body_one = partial(_body_full, scene, cfg, eps_dist)
+
+        # chunked loop: `loop_chunk` fixed iterations per while step — the
+        # while cond syncs with the host on remote TPUs, so check it rarely;
+        # an iteration with no pending rays is a masked no-op
+        chunk = max(int(cfg.loop_chunk), 1)
 
         def cond(s):
             return (s["it"] < max_iters) & jnp.any(s["sp"] > 0)
 
-        state = jax.lax.while_loop(cond, body, state)
+        def chunk_body(s):
+            return jax.lax.fori_loop(0, chunk, lambda i, st: body_one(st), s)
+
+        state = jax.lax.while_loop(cond, chunk_body, state)
 
     return state["accum"], top_valid
 
