@@ -69,6 +69,7 @@ def calculate_lighting(
     (ref raytracer_renderer.rs:731-874). Returns (direct_rgb, specular_rgb)."""
     valid = hit.valid
     material_color = hit.color
+    R = hit.point.shape[0]
 
     # ambient: color (1,1,1) value-maximized is itself; intensity 0.08
     ambient = jnp.where(valid[:, None], material_color, 0.0) * jnp.float32(0.08)
@@ -76,49 +77,73 @@ def calculate_lighting(
     has_specular = hit.shininess > 0.0
     spec_exponent = jnp.maximum(hit.shininess * 512.0, 1.0)
 
-    def light_body(carry, light):
-        light_color_acc, spec_acc = carry
-        lpos, lcolor, lintensity = light
+    # lights are processed C at a time with ONE occlusion launch per chunk
+    # (R*C shadow rays, laid out light-major so each Pallas ray tile serves
+    # one light — coherent directions keep the AABB cull effective)
+    L = scene.light_pos.shape[0]
+    C = max(1, min(L, (2**21) // max(R, 1)))
 
-        light_to_point = lpos[None, :] - hit.point  # (R,3)
+    light_color = jnp.zeros_like(hit.point)
+    specular_color = jnp.zeros_like(hit.point)
+
+    for start in range(0, L, C):
+        end = min(start + C, L)  # static per-chunk size, no overlap
+        c = end - start
+        lpos = scene.light_pos[start:end]  # (c,3)
+        lcolor = scene.light_color[start:end]
+        lintensity = scene.light_intensity[start:end]
+
+        light_to_point = lpos[:, None, :] - hit.point[None, :, :]  # (C,R,3)
         light_dir = normalized(light_to_point)
-        shadow_origin = hit.point + light_dir * epsilon_distance
-        max_dist = jnp.sqrt(dot(lpos[None, :] - shadow_origin, lpos[None, :] - shadow_origin))
+        shadow_origin = hit.point[None, :, :] + light_dir * epsilon_distance
+        delta = lpos[:, None, :] - shadow_origin
+        max_dist = jnp.sqrt(dot(delta, delta))  # (C,R)
 
         occluded, combined_opacity, color_filter = occlude_rays(
             scene,
-            shadow_origin,
-            light_dir,
-            max_dist,
+            shadow_origin.reshape(-1, 3),
+            light_dir.reshape(-1, 3),
+            max_dist.reshape(-1),
             cfg.backface_culling,
             bool(cfg.use_pallas),
             cfg.interpret,
         )
-        can_reach = ~occluded & valid
+        occluded = occluded.reshape(c, R)
+        combined_opacity = combined_opacity.reshape(c, R)
+        color_filter = color_filter.reshape(c, R, 3)
+
+        can_reach = ~occluded & valid[None, :]
 
         # PointLight::calculate_contribution_at (light.rs:261-300)
         light_distance = jnp.sqrt(dot(light_to_point, light_to_point)) + F32_EPSILON
-        cos_in = dot(light_to_point, hit.normal) / light_distance
+        cos_in = dot(light_to_point, hit.normal[None, :, :]) / light_distance
         angle_pos = cos_in > 0.0
         att = 0.95 * (F32_EPSILON + light_distance + light_distance * light_distance)
         att_sigmoid = (jnp.tanh(att) + 1.0) / 2.0
         contrib_intensity = jnp.where(
-            angle_pos, cos_in * lintensity * jnp.clip(att_sigmoid, 0.0, 1.0), 0.0
+            angle_pos,
+            cos_in * lintensity[:, None] * jnp.clip(att_sigmoid, 0.0, 1.0),
+            0.0,
         )
         contrib_color = jnp.where(
-            angle_pos[:, None], material_color * lcolor[None, :], 0.0
-        )
+            angle_pos[..., None],
+            material_color[None, :, :] * lcolor[:, None, :],
+            0.0,
+        )  # (C,R,3)
 
         # shadow filter division quirk (raytracer_renderer.rs:807-811)
         light_color_simd = jnp.where(
-            can_reach[:, None], contrib_color / color_filter, contrib_color
+            can_reach[..., None], contrib_color / color_filter, contrib_color
         )
 
-        diffuse_factor = jnp.maximum(dot(hit.normal, light_dir), 0.0)
+        diffuse_factor = jnp.maximum(dot(hit.normal[None, :, :], light_dir), 0.0)
 
-        spec_reflect = reflected(light_dir, hit.normal)
-        spec = jnp.maximum(dot(normalized(spec_reflect), view_dir), 0.0) ** spec_exponent
-        specular_factor = jnp.where(has_specular, spec, 0.0)
+        spec_reflect = reflected(light_dir, hit.normal[None, :, :])
+        spec = (
+            jnp.maximum(dot(normalized(spec_reflect), view_dir[None, :, :]), 0.0)
+            ** spec_exponent[None, :]
+        )
+        specular_factor = jnp.where(has_specular[None, :], spec, 0.0)
 
         opacity_sel = jnp.where(can_reach, combined_opacity, 1.0)
         light_factor = diffuse_factor * contrib_intensity * opacity_sel
@@ -126,22 +151,22 @@ def calculate_lighting(
 
         light_valid = (diffuse_factor > 0.0) & can_reach
 
-        diffuse_contribution = material_color * light_color_simd * light_factor[:, None]
-        spec_contribution = lcolor[None, :] * spec_factor[:, None]
-
-        light_color_acc = light_color_acc + jnp.where(
-            (light_valid & valid)[:, None], diffuse_contribution, 0.0
+        diffuse_contribution = (
+            material_color[None, :, :] * light_color_simd * light_factor[..., None]
         )
-        spec_acc = spec_acc + jnp.where(
-            (light_valid & valid & has_specular)[:, None], spec_contribution, 0.0
-        )
-        return (light_color_acc, spec_acc), None
+        spec_contribution = lcolor[:, None, :] * spec_factor[..., None]
 
-    zeros = jnp.zeros_like(hit.point)
-    (light_color, specular_color), _ = jax.lax.scan(
-        light_body,
-        (zeros, zeros),
-        (scene.light_pos, scene.light_color, scene.light_intensity),
-    )
+        light_color = light_color + jnp.sum(
+            jnp.where((light_valid & valid[None, :])[..., None], diffuse_contribution, 0.0),
+            axis=0,
+        )
+        specular_color = specular_color + jnp.sum(
+            jnp.where(
+                (light_valid & valid[None, :] & has_specular[None, :])[..., None],
+                spec_contribution,
+                0.0,
+            ),
+            axis=0,
+        )
 
     return ambient + light_color, specular_color
