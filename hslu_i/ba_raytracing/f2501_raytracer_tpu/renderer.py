@@ -45,6 +45,27 @@ class RaytracerRenderer:
         dscene = build_device_scene(scene, self.cfg)
         return self.render_device(dscene, progress)
 
+    def get_pixel_color(self, dscene: DeviceScene, x: int, y: int):
+        """Single-pixel convenience (ref raytracer_renderer.rs:1140-1188):
+        returns (linear RGB (3,), valid) with AA when configured."""
+        cfg = self.cfg
+        cam = cfg.camera
+        aa = cfg.total_aa_rays if cfg.anti_aliasing else 1
+        offsets = (
+            antialiasing_offsets(cfg, cfg.aa_packet_lanes)
+            if cfg.anti_aliasing
+            else np.zeros((1, 3), np.float32)
+        )
+        coords = pixel_scene_coords(cfg, np.asarray([x]), np.asarray([y]))[0]
+        direction = coords - np.asarray(cam.render_ray_focus, np.float32)
+        o = coords[None, :] + offsets
+        d = np.broadcast_to(direction, (aa, 3)).copy()
+        color, valid = trace_rays(dscene, cfg, jax.numpy.asarray(o), jax.numpy.asarray(d))
+        color = np.asarray(color)
+        valid = np.asarray(valid)
+        out = np.where(valid[:, None], color, 0.0).sum(axis=0) / np.float32(aa)
+        return out.astype(np.float32), bool(valid.any())
+
     def render_device(
         self,
         dscene: DeviceScene,

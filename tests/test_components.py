@@ -311,3 +311,22 @@ def test_obj_loader_reference_mesh_counts():
     p = os.path.join(REFERENCE_ROOT, "data", "obj", "text", "text_lowres.obj")
     scene = Scene.from_obj(p)
     assert len(scene.scene_objects.triangles) == 1639
+
+
+def test_get_pixel_color_matches_render():
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu import (
+        RaytracerRenderer,
+        build_device_scene,
+    )
+    from scenes import simple_sphere_scene
+
+    cfg = RenderConfig(width=32, height=32, tile_rays=2048)
+    scene = simple_sphere_scene(cfg)
+    r = RaytracerRenderer(cfg)
+    ds = build_device_scene(scene, cfg)
+    buf = r.render_device(ds)
+    color, valid = r.get_pixel_color(ds, 16, 16)
+    assert valid == bool(buf.valid[16, 16])
+    import numpy as _np
+
+    _np.testing.assert_allclose(color, buf.as_linear()[16, 16], atol=1e-6)
