@@ -59,6 +59,7 @@ def main():
         weight_cutoff=float(os.environ.get("BENCH_WEIGHT_CUTOFF", 1e-3)),
         use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
         compaction_ratio=int(os.environ.get("BENCH_COMPACT", 4)),
+        loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 8)),
     )
 
     scene = build("semesterbild", cfg)

@@ -84,8 +84,11 @@ class RaytracerRenderer:
             else np.zeros((1, 3), np.float32)
         )
 
-        pix_per_tile = max(cfg.tile_rays // aa, 1)
         total_pixels = H * W
+        # don't let tile padding exceed the frame: shrink the tile to the
+        # rounded-up frame size when the image is smaller than one tile
+        eff_tile = min(cfg.tile_rays, max(1024, ((total_pixels * aa + 1023) // 1024) * 1024))
+        pix_per_tile = max(eff_tile // aa, 1)
 
         px, py = np.meshgrid(np.arange(W), np.arange(H))
         px, py = px.reshape(-1), py.reshape(-1)
