@@ -264,8 +264,13 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions):
         def cond(s):
             return (s["it"] < max_iters) & jnp.any(s["sp"] > 0)
 
+        def guarded(st):
+            # on-device guard: iterations after convergence are pass-throughs,
+            # so overshooting the chunk costs ~nothing
+            return jax.lax.cond(jnp.any(st["sp"] > 0), body_one, lambda s: s, st)
+
         def chunk_body(s):
-            return jax.lax.fori_loop(0, chunk, lambda i, st: body_one(st), s)
+            return jax.lax.fori_loop(0, chunk, lambda i, st: guarded(st), s)
 
         state = jax.lax.while_loop(cond, chunk_body, state)
 
