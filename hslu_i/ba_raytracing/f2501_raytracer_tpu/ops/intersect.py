@@ -401,6 +401,7 @@ def occlude_rays(
             mp_,
             backface_culling=backface_culling,
             interpret=interpret,
+            block_has_trans=scene.block_has_trans,
         )
         dec = dec + tdec[:R]
         opq = opq | topq[:R]

@@ -194,6 +194,7 @@ def _occlude_kernel(
     o4_ref, d_ref, maxd_ref, woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref,
     ior_ref, op_ref, met_ref, colr_ref, absn_ref, aabb_ref,
     dec_out, opq_out, fsub_out, *, nb, backface_culling, use_aabb,
+    block_has_trans,
 ):
     o4 = o4_ref[:]
     d = d_ref[:]
@@ -207,35 +208,42 @@ def _occlude_kernel(
 
     for b in range(nb):
 
-        def compute(_, b=b):
+        trans_block = block_has_trans[b] if block_has_trans else True
+
+        def compute(_, b=b, trans_block=trans_block):
             woop = woop_ref[b]
             t, valid = _tri_validity(woop, nsq_ref[b, 0], valid_ref[b, 0], o4, d)
-            tn = tnorm_ref[b]
-            cos_nv = -_cos_planes(d, tn)
             httr = httr_ref[b, 0][None, :] != 0.0
+            if backface_culling or trans_block:
+                tn = tnorm_ref[b]
+                cos_nv = -_cos_planes(d, tn)
             if backface_culling:
                 valid &= (-cos_nv < 0.75) | httr
             hit = valid & (t <= maxd)
 
-            # shadow Fresnel transmittance, red channel (material.rs:467-525
-            # with other_ior=1; raytracer.rs:57-74)
-            ior = ior_ref[b, 0][None, :]
-            met = met_ref[b, 0][None, :]
-            col_r = colr_ref[b, 0][None, :]
-            opv = op_ref[b, 0][None, :]
-            cos_theta = jnp.abs(cos_nv)
-            is_inside = cos_nv < 0.0
-            eta_t = jnp.where(is_inside, ior, 1.0 / ior)
-            sin2_t = eta_t * eta_t * (1.0 - cos_theta * cos_theta)
-            is_refl = met > 0.0
-            is_tir = (httr & is_inside & (sin2_t > 1.0)) | is_refl
-            f0 = ((1.0 - ior) / (1.0 + ior)) ** 2
-            f0r = f0 + (col_r - f0) * met
-            omc = 1.0 - cos_theta
-            fres_r = f0r + (1.0 - f0r) * omc * omc * omc * omc * omc
-            f_r = jnp.where(is_tir, jnp.where(is_refl, met, 1.0), fres_r)
-            t_red = jnp.where(httr, 1.0 - f_r, 0.0)
-            io = jnp.where(httr, opv, 0.0) * t_red
+            if trans_block:
+                # shadow Fresnel transmittance, red channel
+                # (material.rs:467-525 with other_ior=1; raytracer.rs:57-74)
+                ior = ior_ref[b, 0][None, :]
+                met = met_ref[b, 0][None, :]
+                col_r = colr_ref[b, 0][None, :]
+                opv = op_ref[b, 0][None, :]
+                cos_theta = jnp.abs(cos_nv)
+                is_inside = cos_nv < 0.0
+                eta_t = jnp.where(is_inside, ior, 1.0 / ior)
+                sin2_t = eta_t * eta_t * (1.0 - cos_theta * cos_theta)
+                is_refl = met > 0.0
+                is_tir = (httr & is_inside & (sin2_t > 1.0)) | is_refl
+                f0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+                f0r = f0 + (col_r - f0) * met
+                omc = 1.0 - cos_theta
+                fres_r = f0r + (1.0 - f0r) * omc * omc * omc * omc * omc
+                f_r = jnp.where(is_tir, jnp.where(is_refl, met, 1.0), fres_r)
+                t_red = jnp.where(httr, 1.0 - f_r, 0.0)
+                io = jnp.where(httr, opv, 0.0) * t_red
+            else:
+                # all-opaque block: every hit decrements opacity fully
+                io = jnp.float32(0.0)
 
             hit_f = jnp.where(hit, 1.0, 0.0)
             d_dec = jnp.sum(hit_f * (1.0 - io), axis=1, keepdims=True)
@@ -273,13 +281,15 @@ def _occlude_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("backface_culling", "ray_tile", "use_aabb", "interpret"),
+    static_argnames=(
+        "backface_culling", "ray_tile", "use_aabb", "interpret", "block_has_trans",
+    ),
 )
 def pallas_occlude_triangles(
     tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
     tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb,
     o, d, max_distance, backface_culling=False, ray_tile=256, use_aabb=True,
-    interpret=False,
+    interpret=False, block_has_trans=(),
 ):
     """Shadow accumulators over triangle blocks: returns
     (opacity_decrement_sum (R,), any_opaque (R,) bool, filter_sub (R,3))."""
@@ -301,6 +311,7 @@ def pallas_occlude_triangles(
             nb=nb,
             backface_culling=backface_culling,
             use_aabb=use_aabb,
+            block_has_trans=block_has_trans,
         ),
         grid=(R // ray_tile,),
         in_specs=[

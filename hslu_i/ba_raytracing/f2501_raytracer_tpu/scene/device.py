@@ -130,6 +130,9 @@ class DeviceScene:
     n_spheres: int = dataclasses.field(metadata=dict(static=True))
     n_triangles: int = dataclasses.field(metadata=dict(static=True))
     tri_block: int = dataclasses.field(metadata=dict(static=True))
+    # which blocks contain transmissive materials (static: lets the shadow
+    # kernel skip the Fresnel math on all-opaque blocks)
+    block_has_trans: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
     @property
     def sphere_slots(self) -> int:
@@ -279,4 +282,8 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         n_spheres=S_pad,
         n_triangles=T_pad,
         tri_block=B,
+        block_has_trans=tuple(
+            bool(mat_has_trans[S_pad + b * B : S_pad + (b + 1) * B].any())
+            for b in range(nb)
+        ),
     )
