@@ -54,12 +54,12 @@ def main():
         refractions=True,
         scene_backface_culling=True,
         high_quality_model=False,  # plain `realistic` build => lowres text mesh
-        tile_rays=int(os.environ.get("BENCH_TILE", 65536)),
+        tile_rays=int(os.environ.get("BENCH_TILE", 32768)),
         max_nodes=int(os.environ.get("BENCH_MAX_NODES", 48)),
         weight_cutoff=float(os.environ.get("BENCH_WEIGHT_CUTOFF", 1e-3)),
         use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
-        compaction_ratio=int(os.environ.get("BENCH_COMPACT", 4)),
-        loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 8)),
+        compaction_ratio=int(os.environ.get("BENCH_COMPACT", 32)),
+        loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 128)),
     )
 
     scene = build("semesterbild", cfg)

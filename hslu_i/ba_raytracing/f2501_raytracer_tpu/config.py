@@ -144,14 +144,14 @@ class RenderConfig:
     # secondary-ray compaction: each loop iteration services only
     # tile_rays/compaction_ratio pixels with pending rays (sorted to the
     # front), since contributions are weight-linear and order-independent.
-    # 1 disables compaction; 4 is a good default once most rays die young.
-    compaction_ratio: int = 4
+    # 1 disables compaction; measured sweet spot ~32 on v5e (PERF.md).
+    compaction_ratio: int = 32
     weight_cutoff: float = 1e-4  # prune children with weight below this
     # iterations per while-loop step: a data-dependent while_loop syncs with
     # the host every iteration on remote-attached TPUs (~10-45 ms each!);
     # running loop_chunk fori iterations per while step amortizes the sync
     # while keeping the early exit (an all-dead iteration is a cheap no-op)
-    loop_chunk: int = 8
+    loop_chunk: int = 128
     triangle_block: int = 512  # triangles per matmul block
     interpret: bool = False  # pallas interpreter mode (CPU tests)
     # None = auto (pallas on TPU backends, XLA elsewhere); the renderer and
