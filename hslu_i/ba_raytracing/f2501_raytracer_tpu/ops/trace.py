@@ -229,6 +229,15 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions):
         jnp.ones((R,), bool),
     )
 
+    if not (cfg.reflections or cfg.refractions):
+        return contrib, top_valid
+
+    ratio = max(int(cfg.compaction_ratio), 1)
+    if ratio > 1 and R > 256 * ratio:
+        return _run_pool(
+            scene, cfg, eps_dist, R, contrib, top_valid, refr_push, refl_push
+        )
+
     K = cfg.stack_size
     state = dict(
         sp=jnp.zeros((R,), jnp.int32),
@@ -246,34 +255,136 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions):
     state = _push(state, refr_push)
     state = _push(state, refl_push)
 
-    if cfg.reflections or cfg.refractions:
-        ratio = max(int(cfg.compaction_ratio), 1)
-        if ratio > 1 and R > 256 * ratio:
-            W = max((R // ratio) // 256 * 256, 256)
-            max_iters = cfg.max_nodes * ratio
-            body_one = partial(_body_compacted, scene, cfg, eps_dist, W)
-        else:
-            max_iters = cfg.max_nodes
-            body_one = partial(_body_full, scene, cfg, eps_dist)
+    max_iters = cfg.max_nodes
+    body_one = partial(_body_full, scene, cfg, eps_dist)
 
-        # chunked loop: `loop_chunk` fixed iterations per while step — the
-        # while cond syncs with the host on remote TPUs, so check it rarely;
-        # an iteration with no pending rays is a masked no-op
-        chunk = max(int(cfg.loop_chunk), 1)
+    # chunked loop: `loop_chunk` fixed iterations per while step — the
+    # while cond syncs with the host on remote TPUs, so check it rarely;
+    # an iteration with no pending rays is a masked no-op
+    chunk = max(int(cfg.loop_chunk), 1)
 
-        def cond(s):
-            return (s["it"] < max_iters) & jnp.any(s["sp"] > 0)
+    def cond(s):
+        return (s["it"] < max_iters) & jnp.any(s["sp"] > 0)
 
-        def guarded(st):
-            # on-device guard: iterations after convergence are pass-throughs,
-            # so overshooting the chunk costs ~nothing
-            return jax.lax.cond(jnp.any(st["sp"] > 0), body_one, lambda s: s, st)
+    def guarded(st):
+        # on-device guard: iterations after convergence are pass-throughs,
+        # so overshooting the chunk costs ~nothing
+        return jax.lax.cond(jnp.any(st["sp"] > 0), body_one, lambda s: s, st)
 
-        def chunk_body(s):
-            return jax.lax.fori_loop(0, chunk, lambda i, st: guarded(st), s)
+    def chunk_body(s):
+        return jax.lax.fori_loop(0, chunk, lambda i, st: guarded(st), s)
 
-        state = jax.lax.while_loop(cond, chunk_body, state)
+    state = jax.lax.while_loop(cond, chunk_body, state)
 
+    return state["accum"], top_valid
+
+
+def _pool_append(pool, count, entries, masks, Q):
+    """Compact `entries` (list per push source, each (W,fields) + mask) into
+    the pool at `count`. All work is O(total candidate width)."""
+    cand = {
+        k: jnp.concatenate([e[k] for e in entries], axis=0)
+        for k in ("o", "d", "w", "ior", "budget", "from_refl", "pix")
+    }
+    m = jnp.concatenate(masks, axis=0)
+    n_cand = m.shape[0]
+    # dense positions among accepted candidates; rejected go to a drop slot
+    pos_in = jnp.cumsum(m.astype(jnp.int32)) - 1
+    n_push = pos_in[-1] + 1
+    staging_pos = jnp.where(m, pos_in, n_cand)  # n_cand = drop slot
+
+    def stage(val):
+        pad = [(0, 1)] + [(0, 0)] * (val.ndim - 1)
+        out = jnp.zeros((n_cand + 1,) + val.shape[1:], val.dtype)
+        return out.at[staging_pos].set(val)[:n_cand]
+
+    pool = dict(pool)
+    start = count  # count is pre-clamped so start + n_cand <= Q
+    for k in cand:
+        staged = stage(cand[k])
+        pool[k] = jax.lax.dynamic_update_slice_in_dim(pool[k], staged, start, 0)
+    return pool, count + n_push
+
+
+def _run_pool(scene, cfg, eps_dist, R, contrib, top_valid, refr_push, refl_push):
+    """Compacted wavefront with a dense ray pool: pending rays are stored
+    contiguously, so every iteration's cost scales with the service width W,
+    not the wavefront size R. Exact: contributions carry path weights, so
+    evaluation order is free.
+    """
+    ratio = max(int(cfg.compaction_ratio), 1)
+    W = max((R // ratio) // 256 * 256, 256)
+    Q = 2 * R + 2 * W  # prologue pushes at most 2R; iterations net at most +W
+
+    def empty(shape_tail, dtype):
+        return jnp.zeros((Q,) + shape_tail, dtype)
+
+    pool = dict(
+        o=empty((3,), jnp.float32),
+        d=empty((3,), jnp.float32),
+        w=empty((3,), jnp.float32),
+        ior=empty((), jnp.float32),
+        budget=empty((), jnp.int32),
+        from_refl=empty((), bool),
+        pix=empty((), jnp.int32),
+    )
+    pix = jnp.arange(R, dtype=jnp.int32)
+    count = jnp.int32(0)
+    entries, masks = [], []
+    for p in (refr_push, refl_push):
+        if p is None:
+            continue
+        entries.append({**{k: p[k] for k in ("o", "d", "w", "ior", "budget", "from_refl")}, "pix": pix})
+        masks.append(p["mask"])
+    if entries:
+        pool, count = _pool_append(pool, count, entries, masks, Q)
+
+    state = dict(pool=pool, count=count, accum=contrib, it=jnp.int32(0))
+    max_iters = cfg.max_nodes * ratio
+    chunk = max(int(cfg.loop_chunk), 1)
+
+    def body_one(s):
+        pool, count = s["pool"], s["count"]
+        start = jnp.maximum(count - W, 0)
+        sel_active = start + jnp.arange(W, dtype=jnp.int32) < count
+
+        def takef(arr):
+            return jax.lax.dynamic_slice_in_dim(arr, start, W, 0)
+
+        e = {k: takef(pool[k]) for k in pool}
+        contrib_w, _, refl_p, refr_p = _eval_node(
+            scene, cfg, eps_dist, e["o"], e["d"], e["ior"], e["w"], e["budget"],
+            e["from_refl"], sel_active,
+        )
+        s = dict(s)
+        s["accum"] = s["accum"].at[e["pix"]].add(
+            jnp.where(sel_active[:, None], contrib_w, 0.0), mode="drop"
+        )
+        # cap so a full append of 2W candidates stays in bounds
+        count = jnp.minimum(start, Q - 2 * W)
+        entries, masks = [], []
+        for p in (refr_p, refl_p):
+            if p is None:
+                continue
+            entries.append({**{k: p[k] for k in ("o", "d", "w", "ior", "budget", "from_refl")}, "pix": e["pix"]})
+            masks.append(p["mask"] & sel_active)
+        if entries:
+            pool2, count = _pool_append(s["pool"], count, entries, masks, Q)
+            s["pool"] = pool2
+        s["count"] = count
+        s["it"] = s["it"] + 1
+        return s
+
+    def cond(s):
+        return (s["it"] < max_iters) & (s["count"] > 0)
+
+    def guarded(st):
+        return jax.lax.cond(st["count"] > 0, body_one, lambda s: s, st)
+
+    def chunk_body(s):
+        return jax.lax.fori_loop(0, chunk, lambda i, st: guarded(st), s)
+
+    state = jax.lax.while_loop(cond, chunk_body, state)
     return state["accum"], top_valid
 
 
