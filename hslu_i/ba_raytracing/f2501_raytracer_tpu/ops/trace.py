@@ -401,68 +401,3 @@ def _body_full(scene, cfg, eps_dist, s):
     s = _push(s, refr_p)
     s = _push(s, refl_p)
     return s
-
-
-def _body_compacted(scene, cfg, eps_dist, W, s):
-    """Service only W pixels per iteration, chosen by compacting pixels with
-    pending rays to the front. Valid because every node contribution carries
-    its full path weight: evaluation order never changes the sum."""
-    active_all = s["sp"] > 0
-    # stable partition via cumsum (cheaper than argsort on TPU): active
-    # pixel indices first, preserving pixel order for ray coherence
-    R = active_all.shape[0]
-    act_rank = jnp.cumsum(active_all.astype(jnp.int32)) - 1
-    n_active = act_rank[-1] + 1
-    inact_rank = jnp.cumsum((~active_all).astype(jnp.int32)) - 1
-    pos = jnp.where(active_all, act_rank, n_active + inact_rank)
-    perm = jnp.zeros((R,), jnp.int32).at[pos].set(jnp.arange(R, dtype=jnp.int32))
-    sel = perm[:W]
-    sel_active = jnp.take(active_all, sel)
-
-    # pop from the selected pixels
-    sp_sel = jnp.take(s["sp"], sel)
-    slot = jnp.maximum(sp_sel - 1, 0)
-
-    def takef(arr):
-        return arr[slot, sel]
-
-    e = dict(
-        o=takef(s["st_o"]),
-        d=takef(s["st_d"]),
-        w=takef(s["st_w"]),
-        ior=takef(s["st_ior"]),
-        budget=takef(s["st_budget"]),
-        from_refl=takef(s["st_refl"]),
-    )
-    s = dict(s)
-    s["sp"] = s["sp"].at[sel].add(-sel_active.astype(jnp.int32))
-
-    contrib, _, refl_p, refr_p = _eval_node(
-        scene, cfg, eps_dist, e["o"], e["d"], e["ior"], e["w"], e["budget"],
-        e["from_refl"], sel_active,
-    )
-    s["accum"] = s["accum"].at[sel].add(
-        jnp.where(sel_active[:, None], contrib, 0.0)
-    )
-    s["it"] = s["it"] + 1
-
-    for entry in (refr_p, refl_p):
-        if entry is None:
-            continue
-        sp_sel = jnp.take(s["sp"], sel)
-        mask = entry["mask"] & sel_active & (sp_sel < s["st_o"].shape[0])
-        wslot = jnp.minimum(sp_sel, s["st_o"].shape[0] - 1)
-
-        def put(arr, val, vec):
-            m = mask[:, None] if vec else mask
-            old = arr[wslot, sel]
-            return arr.at[wslot, sel].set(jnp.where(m, val, old))
-
-        s["st_o"] = put(s["st_o"], entry["o"], True)
-        s["st_d"] = put(s["st_d"], entry["d"], True)
-        s["st_w"] = put(s["st_w"], entry["w"], True)
-        s["st_ior"] = put(s["st_ior"], entry["ior"], False)
-        s["st_budget"] = put(s["st_budget"], entry["budget"], False)
-        s["st_refl"] = put(s["st_refl"], entry["from_refl"], False)
-        s["sp"] = s["sp"].at[sel].add(mask.astype(jnp.int32))
-    return s
