@@ -60,6 +60,7 @@ def main():
         use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
         compaction_ratio=int(os.environ.get("BENCH_COMPACT", 32)),
         loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 128)),
+        triangle_block=int(os.environ.get("BENCH_TRI_BLOCK", 512)),
     )
 
     scene = build("semesterbild", cfg)
