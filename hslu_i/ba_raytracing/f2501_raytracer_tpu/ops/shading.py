@@ -74,6 +74,45 @@ def calculate_lighting(
     # ambient: color (1,1,1) value-maximized is itself; intensity 0.08
     ambient = jnp.where(valid[:, None], material_color, 0.0) * jnp.float32(0.08)
 
+    if cfg.use_pallas:
+        from .intersect import _pad_rays
+        from .pallas_kernels import pallas_light_shade
+
+        args, _ = _pad_rays(
+            (
+                hit.point,
+                hit.normal,
+                view_dir,
+                material_color,
+                hit.metallic[:, None],
+                hit.shininess[:, None],
+                valid.astype(jnp.float32)[:, None],
+            ),
+            256,
+        )
+        direct, spec = pallas_light_shade(
+            scene.light_pack,
+            scene.sph_pack,
+            scene.tri_woop,
+            scene.tri_nsq,
+            scene.tri_valid_f,
+            scene.tri_httr_f,
+            scene.tri_normal3,
+            scene.tri_ior,
+            scene.tri_op,
+            scene.tri_met,
+            scene.tri_colr,
+            scene.tri_absn,
+            scene.tri_aabb,
+            *args,
+            n_lights=scene.n_lights,
+            eps_dist=float(epsilon_distance),
+            backface_culling=cfg.backface_culling,
+            interpret=cfg.interpret,
+            block_has_trans=scene.block_has_trans,
+        )
+        return ambient + direct[:R], spec[:R]
+
     has_specular = hit.shininess > 0.0
     spec_exponent = jnp.maximum(hit.shininess * 512.0, 1.0)
 

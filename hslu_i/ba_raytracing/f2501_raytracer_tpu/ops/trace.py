@@ -212,7 +212,7 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions):
     (ref raytracer_renderer.rs:1183-1187).
     """
     R = origins.shape[0]
-    eps_dist = jnp.float32(cfg.camera.epsilon_distance)
+    eps_dist = float(cfg.camera.epsilon_distance)
     d0 = normalized(directions)
 
     # primary node: budget None (-1), weight 1, current medium = air

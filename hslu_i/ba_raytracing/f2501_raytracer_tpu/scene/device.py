@@ -125,8 +125,13 @@ class DeviceScene:
     light_pos: jax.Array  # (L, 3)
     light_color: jax.Array  # (L, 3)
     light_intensity: jax.Array  # (L,)
+    # kernel-packed forms: lights (L_pad, 8) rows [pos3|color3|intensity|0];
+    # spheres (16, 128) rows [cx,cy,cz,rsq,ior,op,met,colr,httr,absr,absg,absb,valid,0,0,0]
+    light_pack: jax.Array
+    sph_pack: jax.Array
 
     # static metadata
+    n_lights: int = dataclasses.field(metadata=dict(static=True))
     n_spheres: int = dataclasses.field(metadata=dict(static=True))
     n_triangles: int = dataclasses.field(metadata=dict(static=True))
     tri_block: int = dataclasses.field(metadata=dict(static=True))
@@ -250,6 +255,27 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     light_color[: lp.shape[0]] = lc
     light_intensity[: lp.shape[0]] = li
 
+    L_real = max(lp.shape[0], 1)
+    L_pad = _round_up(L_real, 8)
+    light_pack = np.zeros((L_pad, 8), np.float32)
+    light_pack[:L_real, 0:3] = light_pos[:L_real]
+    light_pack[:L_real, 3:6] = light_color[:L_real]
+    light_pack[:L_real, 6] = light_intensity[:L_real]
+
+    sph_pack = np.zeros((16, 128), np.float32)
+    SP = min(S_pad, 128)
+    sph_pack[0:3, :SP] = sph_center[:SP].T
+    sph_pack[3, :SP] = sph_r_sq[:SP]
+    sph_pack[4, :SP] = mat_ior[:SP]
+    sph_pack[5, :SP] = mat_opacity[:SP]
+    sph_pack[6, :SP] = mat_metallic[:SP]
+    sph_pack[7, :SP] = mat_color[:SP, 0]
+    sph_pack[8, :SP] = mat_has_trans[:SP].astype(np.float32)
+    sph_pack[9:12, :SP] = mat_absorption[:SP].T
+    sph_pack[12, :SP] = sph_valid[:SP].astype(np.float32)
+    # park padded sphere centers far away (slot 12 marks validity)
+    sph_pack[0:3, SP:] = 1e8
+
     return DeviceScene(
         sph_center=jnp.asarray(sph_center),
         sph_r_sq=jnp.asarray(sph_r_sq),
@@ -279,6 +305,9 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         light_pos=jnp.asarray(light_pos),
         light_color=jnp.asarray(light_color),
         light_intensity=jnp.asarray(light_intensity),
+        light_pack=jnp.asarray(light_pack),
+        sph_pack=jnp.asarray(sph_pack),
+        n_lights=L_real,
         n_spheres=S_pad,
         n_triangles=T_pad,
         tri_block=B,

@@ -59,3 +59,27 @@ def test_pallas_occlude_matches_xla(setup, backface):
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]), atol=1e-5)
+
+
+def test_pallas_full_trace_matches_xla(setup):
+    """End-to-end: the all-Pallas path (cast + fused lighting kernels,
+    interpret mode) must match the XLA engine on a realistic config."""
+    import dataclasses
+
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu import build_device_scene as _b
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays
+
+    ds, o, d = setup
+    cfg = RenderConfig(
+        width=32, height=24, reflections=True, refractions=True,
+        max_nodes=64, weight_cutoff=1e-3,
+    )
+    dirs = d  # already normalized is fine; trace normalizes again
+    c_ref, v_ref = trace_rays(ds, dataclasses.replace(cfg, use_pallas=False), o, dirs)
+    c_pal, v_pal = trace_rays(
+        ds, dataclasses.replace(cfg, use_pallas=True, interpret=True), o, dirs
+    )
+    np.testing.assert_array_equal(np.asarray(v_pal), np.asarray(v_ref))
+    np.testing.assert_allclose(
+        np.asarray(c_pal), np.asarray(c_ref), rtol=2e-5, atol=2e-6
+    )
