@@ -186,9 +186,22 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     aabb[:, 0:3] = 1e8  # empty blocks: inverted (never hit) AABB
     aabb[:, 3:6] = -1e8
     if T:
-        # Morton-sort triangles so each block is spatially tight
+        # Sort triangles so each block is spatially tight: large triangles
+        # (walls/floors) first in their own blocks — mixing them into Morton
+        # cells would blow up those blocks' AABBs and defeat the cull — then
+        # the rest in Morton order.
         cent = np.stack([t.get_center() for t in triangles]).astype(np.float32)
-        order = morton_order(cent)
+        v1s = np.stack([t.vertex1 for t in triangles])
+        v2s = np.stack([t.vertex2 for t in triangles])
+        v3s = np.stack([t.vertex3 for t in triangles])
+        tri_lo = np.minimum(np.minimum(v1s, v2s), v3s)
+        tri_hi = np.maximum(np.maximum(v1s, v2s), v3s)
+        diag = np.linalg.norm(tri_hi - tri_lo, axis=1)
+        scene_diag = float(np.linalg.norm(tri_hi.max(0) - tri_lo.min(0))) or 1.0
+        big = diag > 0.1 * scene_diag
+        small_idx = np.where(~big)[0]
+        small_order = small_idx[morton_order(cent[small_idx])] if len(small_idx) else small_idx
+        order = np.concatenate([np.where(big)[0], small_order]).astype(np.int64)
         triangles = [triangles[i] for i in order]
 
         v1 = np.stack([t.vertex1 for t in triangles]).astype(np.float64)
