@@ -83,3 +83,23 @@ def test_pallas_full_trace_matches_xla(setup):
     np.testing.assert_allclose(
         np.asarray(c_pal), np.asarray(c_ref), rtol=2e-5, atol=2e-6
     )
+
+
+def test_pallas_full_trace_matches_xla_backface(setup):
+    import dataclasses
+
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays
+
+    ds, o, d = setup
+    cfg = RenderConfig(
+        width=32, height=24, reflections=True, refractions=True,
+        backface_culling=True, max_nodes=64, weight_cutoff=1e-3,
+    )
+    c_ref, v_ref = trace_rays(ds, dataclasses.replace(cfg, use_pallas=False), o, d)
+    c_pal, v_pal = trace_rays(
+        ds, dataclasses.replace(cfg, use_pallas=True, interpret=True), o, d
+    )
+    np.testing.assert_array_equal(np.asarray(v_pal), np.asarray(v_ref))
+    np.testing.assert_allclose(
+        np.asarray(c_pal), np.asarray(c_ref), rtol=2e-5, atol=2e-6
+    )
