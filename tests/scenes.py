@@ -92,3 +92,38 @@ def preprocessed_light_tuples(scene: Scene, cfg: RenderConfig):
         scene.scene_lights, cfg.point_light_multiplicator, cfg.camera, seed=cfg.seed
     )
     return [(pos[i], col[i], float(inten[i])) for i in range(pos.shape[0])]
+
+
+def translucent_scene(cfg: RenderConfig) -> Scene:
+    """Low-opacity transmissives exercising the adaptive refraction budget
+    branches (divisor 3 at op<=0.3, divisor 2 / step 2 at op<0.5 —
+    ref raytracer_renderer.rs:458-491)."""
+    cam = cfg.camera
+    w, h, d = cam.scene_width, cam.scene_height, cam.scene_depth
+    s = Scene()
+    s.add_sphere(
+        SphereData.with_material(
+            (0.3 * w, 0.5 * h, 0.3 * d), 0.15 * d,
+            Material.new((0.9, 0.95, 1.0), 0.0, 0.2, TransmissionProperties.new(0.25, 1.4)),
+        )
+    )
+    s.add_sphere(
+        SphereData.with_material(
+            (0.65 * w, 0.5 * h, 0.35 * d), 0.15 * d,
+            Material.new((1.0, 0.9, 0.9), 0.1, 0.3, TransmissionProperties.new(0.45, 1.6)),
+        )
+    )
+    s.add_sphere(
+        SphereData.with_material(
+            (0.5 * w, 0.52 * h, 0.62 * d), 0.2 * d,
+            Material.new((0.9, 0.2, 0.3), 0.0, 0.4, TransmissionProperties.none()),
+        )
+    )
+    for tri in BoundedPlane.with_material(
+        (0.0, 0.0, -1.0), (0.5 * w, 0.5 * h, 0.95 * d), (0.0, 1.0, 0.0),
+        1.4 * w, 1.4 * h, 0.02 * d,
+        Material.new((0.6, 0.6, 0.7), 0.0, 0.1, TransmissionProperties.none()),
+    ).to_basic_geometries():
+        s.add_triangle(tri)
+    s.add_light(PointLight.new((0.5 * w, 0.1 * h, 0.05 * d), (1.0, 0.9, 0.8), 0.9))
+    return s

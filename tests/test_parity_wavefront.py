@@ -67,3 +67,20 @@ def test_parity_soft_shadows():
         reflections=True, refractions=True, soft_shadows=True, **SIZE
     )
     check(cfg, atol=3e-3)
+
+
+def test_parity_adaptive_refraction_budgets():
+    """Opacities 0.25/0.45 hit the divisor-3 / divisor-2 + step-2 budget
+    branches (raytracer_renderer.rs:458-491)."""
+    from scenes import translucent_scene
+
+    cfg = RenderConfig(reflections=True, refractions=True, **SIZE)
+    scene = translucent_scene(cfg)
+    lights = preprocessed_light_tuples(scene, cfg)
+    o_img, o_valid = OracleRenderer(scene, cfg, lights).render()
+    buf = RaytracerRenderer(cfg).render(scene)
+    e_img, e_valid = buf.as_linear(), buf.valid
+    assert (o_valid != e_valid).mean() < 0.01
+    both = o_valid & e_valid
+    diff = np.abs(o_img - e_img)[both]
+    assert (diff.max(axis=-1) > 2e-3).mean() < 0.02, f"max {diff.max():.5f}"
