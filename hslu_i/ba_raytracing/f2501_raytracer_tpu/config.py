@@ -152,6 +152,8 @@ class RenderConfig:
     # running loop_chunk fori iterations per while step amortizes the sync
     # while keeping the early exit (an all-dead iteration is a cheap no-op)
     loop_chunk: int = 128
+    # Morton-resort each serviced pool batch for kernel-tile ray coherence
+    resort_secondary: bool = True
     triangle_block: int = 512  # triangles per matmul block
     interpret: bool = False  # pallas interpreter mode (CPU tests)
     # None = auto (pallas on TPU backends, XLA elsewhere); the renderer and

@@ -352,6 +352,24 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, top_valid, refr_push, refl_push)
             return jax.lax.dynamic_slice_in_dim(arr, start, W, 0)
 
         e = {k: takef(pool[k]) for k in pool}
+
+        if cfg.resort_secondary:
+            # sort the serviced batch by origin Morton code: spatially
+            # coherent 256-ray kernel tiles cull far more blocks. Order is
+            # free (contributions are weight-linear), results are exact.
+            oq = jnp.clip(e["o"] * 64.0, 0.0, 63.0).astype(jnp.int32)
+
+            def spread(v):  # interleave 6 bits -> 18-bit morton
+                v = (v | (v << 8)) & 0x0300F
+                v = (v | (v << 4)) & 0x030C3
+                v = (v | (v << 2)) & 0x09249
+                return v
+
+            key = spread(oq[:, 0]) | (spread(oq[:, 1]) << 1) | (spread(oq[:, 2]) << 2)
+            key = jnp.where(sel_active, key, jnp.int32(2**30))  # dead lanes last
+            order = jnp.argsort(key)
+            e = {k: jnp.take(v, order, axis=0) for k, v in e.items()}
+            sel_active = jnp.take(sel_active, order)
         contrib_w, _, refl_p, refr_p = _eval_node(
             scene, cfg, eps_dist, e["o"], e["d"], e["ior"], e["w"], e["budget"],
             e["from_refl"], sel_active,
