@@ -153,7 +153,8 @@ class RenderConfig:
     # while keeping the early exit (an all-dead iteration is a cheap no-op)
     loop_chunk: int = 128
     # Morton-resort each serviced pool batch for kernel-tile ray coherence
-    resort_secondary: bool = True
+    # (measured neutral-to-slightly-negative on semesterbild; off by default)
+    resort_secondary: bool = False
     triangle_block: int = 512  # triangles per matmul block
     interpret: bool = False  # pallas interpreter mode (CPU tests)
     # None = auto (pallas on TPU backends, XLA elsewhere); the renderer and
