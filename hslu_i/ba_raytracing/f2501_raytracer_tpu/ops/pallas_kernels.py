@@ -534,7 +534,9 @@ def _light_shade_kernel(
         ldir = ltp * (1.0 / jnp.sqrt(lt2))
         so = point + ldir * eps_dist
         delta = lpos[None, :] - so
-        maxd = jnp.sqrt(jnp.sum(delta * delta, axis=1, keepdims=True))
+        # zero max-distance on invalid lanes so the per-tile segment prune
+        # (maxd_all) isn't poisoned by parked rays
+        maxd = jnp.where(valid, jnp.sqrt(jnp.sum(delta * delta, axis=1, keepdims=True)), 0.0)
 
         dec, opq, fsub = _sphere_occl_planes(sph_ref[:], so, ldir, maxd, backface_culling)
         o4 = jnp.concatenate([so, jnp.ones((RT, 1), so.dtype)], axis=1)

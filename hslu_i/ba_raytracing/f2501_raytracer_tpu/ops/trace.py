@@ -57,7 +57,13 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
     d = jnp.where(active[:, None], d, jnp.float32([0.0, 0.0, 1.0])[None, :])
     hit = cast_rays(scene, o, d, cfg.backface_culling, bool(cfg.use_pallas), cfg.interpret)
     hval = hit.valid & active
-    hit = dataclasses.replace(hit, valid=hval)
+    # park missed lanes far away too: their (masked-out) shadow rays then
+    # miss every block AABB, letting background tiles skip the whole scene
+    hit = dataclasses.replace(
+        hit,
+        valid=hval,
+        point=jnp.where(hval[:, None], hit.point, jnp.float32(1e9)),
+    )
 
     direct, spec = calculate_lighting(scene, cfg, hit, d, eps_dist)
 

@@ -1,0 +1,39 @@
+"""Secondary benchmark: the 14.5k-face high-quality mesh at 1080p realistic."""
+import os, sys, time, json
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+import jax.numpy as jnp
+import numpy as np
+from hslu_i.ba_raytracing.f2501_raytracer_tpu import RenderConfig, build_device_scene
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.models import build
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import pixel_scene_coords
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays_tiled
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
+
+W, H = 1920, 1080
+cfg = RenderConfig(width=W, height=H, reflections=True, refractions=True,
+                   scene_backface_culling=True, high_quality_model=True,
+                   tile_rays=32768, max_nodes=48, weight_cutoff=1e-3, use_pallas=True)
+scene = build("semesterbild", cfg)
+scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
+ds = build_device_scene(scene, cfg)
+print("triangles:", ds.n_triangles, flush=True)
+n_pix = W*H
+px, py = np.meshgrid(np.arange(W), np.arange(H))
+coords = pixel_scene_coords(cfg, px.reshape(-1), py.reshape(-1))
+dirs = (coords - np.asarray(cfg.camera.render_ray_focus, np.float32)).astype(np.float32)
+tile = cfg.tile_rays
+n_tiles = (n_pix + tile - 1)//tile
+pad = n_tiles*tile - n_pix
+o = np.concatenate([coords, np.zeros((pad,3),np.float32)]).reshape(n_tiles, tile, 3)
+d = np.concatenate([dirs, np.tile(np.float32([0,0,1]),(pad,1))]).reshape(n_tiles, tile, 3)
+o, d = jnp.asarray(o), jnp.asarray(d)
+t0=time.monotonic(); out = trace_rays_tiled(ds, cfg, o, d); jax.block_until_ready(out)
+print("compile+first:", time.monotonic()-t0, flush=True)
+best=1e9
+for _ in range(2):
+    t0=time.monotonic(); out = trace_rays_tiled(ds, cfg, o, d); jax.block_until_ready(out)
+    best=min(best, time.monotonic()-t0)
+print(json.dumps({"metric": "1080p semesterbild realistic, 14.5k-face mesh",
+                  "value": round(best*1e3,1), "unit": "ms"}))
