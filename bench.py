@@ -9,6 +9,14 @@ Env knobs:
   BENCH_WIDTH/BENCH_HEIGHT  — override resolution (default 1920x1080)
   BENCH_REPEATS             — timed repetitions (default 3, best taken)
   BENCH_SMALL=1             — 240x135 quick sanity run
+  BENCH_CONFIG              — one of BASELINE.json's "configs":
+      realistic (default) — reflections + light_reflections + refractions
+      default             — primary rays, Blinn-Phong, hard shadows
+      anti_aliasing       — rotation_scale + randomness jitter supersampling
+      soft_shadows        — Poisson light-cloud shadow sampling
+      extreme             — high_quality_model OBJ + extreme_quality
+                            (implies AA + soft shadows; ref Cargo.toml:62-83);
+                            defaults to 480x270 — override via BENCH_WIDTH
 """
 
 from __future__ import annotations
@@ -24,6 +32,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_MS = 100.0  # BASELINE.json north-star frame budget
 
+# feature sets per BASELINE.json "configs" (mirroring ref Cargo.toml:62-83
+# feature edges; scene_backface_culling is a reference default feature)
+CONFIGS = {
+    "default": dict(),
+    "anti_aliasing": dict(
+        anti_aliasing_rotation_scale=True, anti_aliasing_randomness=True
+    ),
+    "soft_shadows": dict(soft_shadows=True),
+    "realistic": dict(reflections=True, light_reflections=True, refractions=True),
+    "extreme": dict(
+        reflections=True,
+        light_reflections=True,
+        refractions=True,
+        extreme_quality=True,
+        high_quality_model=True,
+    ),
+}
+
 
 def main():
     import jax
@@ -37,23 +63,28 @@ def main():
         build_device_scene,
     )
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.models import build
-    from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import pixel_scene_coords
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import (
+        antialiasing_offsets,
+        pixel_scene_coords,
+    )
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays_tiled
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
 
+    config_name = os.environ.get("BENCH_CONFIG", "realistic")
+    if config_name not in CONFIGS:
+        sys.exit(f"BENCH_CONFIG must be one of {sorted(CONFIGS)}")
     small = os.environ.get("BENCH_SMALL") == "1"
-    width = int(os.environ.get("BENCH_WIDTH", 240 if small else 1920))
-    height = int(os.environ.get("BENCH_HEIGHT", 135 if small else 1080))
+    dflt_w, dflt_h = (240, 135) if small else (1920, 1080)
+    if config_name == "extreme" and not small:
+        dflt_w, dflt_h = 480, 270  # ~500 rays/pixel; full-res via BENCH_WIDTH
+    width = int(os.environ.get("BENCH_WIDTH", dflt_w))
+    height = int(os.environ.get("BENCH_HEIGHT", dflt_h))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
 
     cfg = RenderConfig(
         width=width,
         height=height,
-        reflections=True,
-        light_reflections=True,
-        refractions=True,
         scene_backface_culling=True,
-        high_quality_model=False,  # plain `realistic` build => lowres text mesh
         tile_rays=int(os.environ.get("BENCH_TILE", 32768)),
         max_nodes=int(os.environ.get("BENCH_MAX_NODES", 48)),
         weight_cutoff=float(os.environ.get("BENCH_WEIGHT_CUTOFF", 1e-3)),
@@ -61,6 +92,7 @@ def main():
         compaction_ratio=int(os.environ.get("BENCH_COMPACT", 32)),
         loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 128)),
         triangle_block=int(os.environ.get("BENCH_TRI_BLOCK", 512)),
+        **CONFIGS[config_name],
     )
 
     scene = build("semesterbild", cfg)
@@ -72,9 +104,19 @@ def main():
     coords = pixel_scene_coords(cfg, px.reshape(-1), py.reshape(-1))
     dirs = (coords - np.asarray(cfg.camera.render_ray_focus, np.float32)).astype(np.float32)
 
+    # AA sample expansion (same math as RaytracerRenderer.render_device)
+    aa = cfg.total_aa_rays if cfg.anti_aliasing else 1
+    if cfg.anti_aliasing:
+        offsets = antialiasing_offsets(cfg, cfg.aa_packet_lanes)
+        coords = (coords[:, None, :] + offsets[None, :, :]).reshape(-1, 3)
+        dirs = np.broadcast_to(dirs[:, None, :], (n_pix, aa, 3)).reshape(-1, 3)
+        coords = np.ascontiguousarray(coords, np.float32)
+        dirs = np.ascontiguousarray(dirs, np.float32)
+    n_rays = n_pix * aa
+
     tile = cfg.tile_rays
-    n_tiles = (n_pix + tile - 1) // tile
-    pad = n_tiles * tile - n_pix
+    n_tiles = (n_rays + tile - 1) // tile
+    pad = n_tiles * tile - n_rays
     if pad:
         coords = np.concatenate([coords, np.zeros((pad, 3), np.float32)])
         dirs = np.concatenate([dirs, np.tile(np.float32([0, 0, 1]), (pad, 1))])
@@ -100,16 +142,16 @@ def main():
         best = min(best, time.monotonic() - t0)
 
     ms = best * 1e3
-    rays_per_s = n_pix / best
+    rays_per_s = n_rays / best
     sys.stderr.write(
-        f"bench: {width}x{height} semesterbild realistic | compile {compile_s:.1f}s | "
-        f"{ms:.1f} ms/frame | {rays_per_s/1e6:.2f} Mprimary-rays/s | "
+        f"bench: {width}x{height} semesterbild {config_name} | compile {compile_s:.1f}s | "
+        f"{ms:.1f} ms/frame | {rays_per_s/1e6:.2f} Mprimary-rays/s (aa={aa}) | "
         f"triangles={dscene.n_triangles} lights={int(dscene.light_pos.shape[0])}\n"
     )
     print(
         json.dumps(
             {
-                "metric": f"{width}x{height} semesterbild realistic frame latency",
+                "metric": f"{width}x{height} semesterbild {config_name} frame latency",
                 "value": round(ms, 2),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / ms, 4),
