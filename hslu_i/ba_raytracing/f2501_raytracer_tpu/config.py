@@ -156,6 +156,11 @@ class RenderConfig:
     # (measured neutral-to-slightly-negative on semesterbild; off by default)
     resort_secondary: bool = False
     triangle_block: int = 512  # triangles per matmul block
+    # fused-frame chunking: 0 = whole frame as one program (fastest);
+    # N > 0 caps each launched program at N tiles. Heavy configs (AA x
+    # soft-shadow clouds x hq mesh) can run many minutes in one program,
+    # which the remote-relay worker watchdog kills — cap them.
+    tiles_per_program: int = 0
     interpret: bool = False  # pallas interpreter mode (CPU tests)
     # None = auto (pallas on TPU backends, XLA elsewhere); the renderer and
     # bench resolve it via resolve_use_pallas()

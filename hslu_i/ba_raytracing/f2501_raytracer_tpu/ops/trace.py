@@ -239,7 +239,11 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions):
         return contrib, top_valid
 
     ratio = max(int(cfg.compaction_ratio), 1)
-    if ratio > 1 and R > 256 * ratio:
+    # >=: a tile of exactly 256*ratio rays (e.g. 8192 at ratio 32) must also
+    # take the pool path — the full-width stack path re-evaluates the whole
+    # wavefront per pop and is ~ratio x slower; on the remote relay that can
+    # stretch one program past the worker watchdog (see PERF.md)
+    if ratio > 1 and R >= 256 * ratio:
         return _run_pool(
             scene, cfg, eps_dist, R, contrib, top_valid, refr_push, refl_push
         )

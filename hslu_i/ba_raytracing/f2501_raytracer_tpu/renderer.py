@@ -117,15 +117,37 @@ class RaytracerRenderer:
                 d_all[ti, : n * aa] = np.broadcast_to(
                     dirs[:, None, :], (n, aa, 3)
                 ).reshape(-1, 3)
-            color, valid = trace_rays_tiled(
-                dscene, cfg, jax.numpy.asarray(o_all), jax.numpy.asarray(d_all)
-            )
-            color = np.asarray(color).reshape(n_tiles * pix_per_tile, aa, 3)[
-                :total_pixels
-            ]
-            valid = np.asarray(valid).reshape(n_tiles * pix_per_tile, aa)[
-                :total_pixels
-            ]
+            group = cfg.tiles_per_program or n_tiles
+            if group >= n_tiles:
+                color, valid = trace_rays_tiled(
+                    dscene, cfg, jax.numpy.asarray(o_all), jax.numpy.asarray(d_all)
+                )
+                color, valid = np.asarray(color), np.asarray(valid)
+            else:
+                # bound single-program duration: pad the tile count to a
+                # multiple of `group` so every launch reuses one executable
+                n_pad = (n_tiles + group - 1) // group * group
+                if n_pad != n_tiles:
+                    o_all = np.concatenate(
+                        [o_all, np.zeros((n_pad - n_tiles,) + o_all.shape[1:], np.float32)]
+                    )
+                    d_all = np.concatenate(
+                        [d_all, np.tile(np.float32([0, 0, 1]), (n_pad - n_tiles, o_all.shape[1], 1))]
+                    )
+                cs, vs = [], []
+                for gs in range(0, n_pad, group):
+                    c, v = trace_rays_tiled(
+                        dscene,
+                        cfg,
+                        jax.numpy.asarray(o_all[gs : gs + group]),
+                        jax.numpy.asarray(d_all[gs : gs + group]),
+                    )
+                    cs.append(np.asarray(c))
+                    vs.append(np.asarray(v))
+                color = np.concatenate(cs)[:n_tiles]
+                valid = np.concatenate(vs)[:n_tiles]
+            color = color.reshape(n_tiles * pix_per_tile, aa, 3)[:total_pixels]
+            valid = valid.reshape(n_tiles * pix_per_tile, aa)[:total_pixels]
             frame_color = np.where(valid[..., None], color, 0.0).sum(
                 axis=1
             ) / np.float32(aa)

@@ -330,3 +330,26 @@ def test_get_pixel_color_matches_render():
     import numpy as _np
 
     _np.testing.assert_allclose(color, buf.as_linear()[16, 16], atol=1e-6)
+
+
+def test_tiles_per_program_chunking_identical():
+    """Capping tiles per launched program (watchdog mitigation for heavy
+    configs on the remote relay) must not change the image."""
+    import dataclasses
+
+    import numpy as _np
+
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu import RaytracerRenderer
+    from scenes import mixed_scene
+
+    cfg = RenderConfig(
+        width=48, height=32, tile_rays=1024, reflections=True, refractions=True,
+        max_nodes=16,
+    )
+    scene = mixed_scene(cfg)
+    buf_all = RaytracerRenderer(cfg).render(scene)
+    # 48*32/1024 = 1.5 -> 2 tiles; group of 1 also exercises the ragged pad
+    cfg_chunked = dataclasses.replace(cfg, tiles_per_program=1)
+    buf_chunked = RaytracerRenderer(cfg_chunked).render(scene)
+    _np.testing.assert_array_equal(buf_all.valid, buf_chunked.valid)
+    _np.testing.assert_array_equal(buf_all.as_u8(), buf_chunked.as_u8())
