@@ -53,6 +53,9 @@ def main():
         tile_rays=int(os.environ.get("GOLD_TILE", 65536)),
         max_nodes=int(os.environ.get("GOLD_MAX_NODES", 64)),
         weight_cutoff=float(os.environ.get("GOLD_CUTOFF", 1e-3)),
+        # heavy config: cap tiles per launched program so no single on-device
+        # program outlives the relay worker watchdog (~4 min; PERF.md)
+        tiles_per_program=int(os.environ.get("GOLD_TPP", 4)),
     )
     print("config:", cfg.feature_string(), "| aa rays:", cfg.total_aa_rays,
           "| lights x", cfg.point_light_multiplicator, flush=True)
