@@ -202,6 +202,27 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         small_idx = np.where(~big)[0]
         small_order = small_idx[morton_order(cent[small_idx])] if len(small_idx) else small_idx
         order = np.concatenate([np.where(big)[0], small_order]).astype(np.int64)
+
+        # Front-to-back static block ordering: the cast kernels walk blocks
+        # in storage order carrying a running-min t; processing near-camera
+        # blocks first shrinks the per-tile t_limit early, so the AABB test
+        # skips far blocks on primary tiles. Order is irrelevant to shadow
+        # accumulation, and nearest-hit results are order-independent (the
+        # running min is exact) — this is a data-layout change only.
+        n_full = T // B  # the partial (pad-containing) block stays last
+        if n_full > 1:
+            focus = np.asarray(cfg.camera.render_ray_focus, np.float32)
+            dists = np.empty(n_full)
+            blocks = order[: n_full * B].reshape(n_full, B)
+            for blk in range(n_full):
+                lo = tri_lo[blocks[blk]].min(axis=0)
+                hi = tri_hi[blocks[blk]].max(axis=0)
+                dists[blk] = np.linalg.norm(np.clip(focus, lo, hi) - focus)
+            perm = np.argsort(dists, kind="stable")
+            order = np.concatenate(
+                [blocks[perm].reshape(-1), order[n_full * B :]]
+            )
+
         triangles = [triangles[i] for i in order]
 
         v1 = np.stack([t.vertex1 for t in triangles]).astype(np.float64)
