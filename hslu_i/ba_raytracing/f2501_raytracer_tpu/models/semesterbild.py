@@ -32,8 +32,13 @@ from ..scene.lighting import PointLight
 REF_DATA_ROOT = os.environ.get("RAYTRACER_REF_DATA", "/root/reference")
 
 
-def _text_obj_path(high_quality_model: bool) -> str:
-    name = "text.obj" if high_quality_model else "text_lowres.obj"
+def _text_obj_path(cfg: RenderConfig) -> str:
+    # the reference picks the hq mesh when high_quality_model OR the
+    # medium_resolution feature (1140x950) is set (ref src/main.rs:30-35)
+    from ..config import RESOLUTION_MEDIUM
+
+    hq = cfg.high_quality_model or (cfg.width, cfg.height) == RESOLUTION_MEDIUM
+    name = "text.obj" if hq else "text_lowres.obj"
     return os.path.join(REF_DATA_ROOT, "data", "obj", "text", name)
 
 
@@ -91,7 +96,7 @@ def build_scene(cfg: RenderConfig) -> Scene:
         scale=1.226 * AVG,
     )
 
-    obj_path = _text_obj_path(cfg.high_quality_model)
+    obj_path = _text_obj_path(cfg)
     if os.path.exists(obj_path):
         scene = Scene.from_obj(obj_path, mesh_transform, continue_on_material_failure=True)
     else:

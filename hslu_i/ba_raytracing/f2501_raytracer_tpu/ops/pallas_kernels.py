@@ -55,12 +55,20 @@ def _pair_tuv(woop, o4, d):
 
 def _block_aabb_hit(aabb_row, o, d, t_limit):
     """Does ANY ray in the tile hit this block's AABB closer than `t_limit`?
-    aabb_row: (8,) = [min xyz | max xyz | pad]; robust slab test."""
-    inv = 1.0 / d  # (RT,3); ±inf on zero components is fine
+    `t_limit` may be a scalar or a per-ray (RT,) vector. aabb_row: (8,) =
+    [min xyz | max xyz | pad]. NaN-robust slab test: a zero direction
+    component with the origin exactly on that slab plane yields 0*inf=NaN;
+    mapping NaN lo/hi to -inf/+inf treats that degenerate lane as inside the
+    slab, so the cull stays conservative (never a wrong miss)."""
+    inv = 1.0 / d  # (RT,3); ±inf on zero components
     t1 = (aabb_row[0:3][None, :] - o) * inv
     t2 = (aabb_row[3:6][None, :] - o) * inv
-    tnear = jnp.max(jnp.minimum(t1, t2), axis=1)
-    tfar = jnp.min(jnp.maximum(t1, t2), axis=1)
+    lo = jnp.minimum(t1, t2)
+    hi = jnp.maximum(t1, t2)
+    lo = jnp.where(jnp.isnan(lo), -INF, lo)
+    hi = jnp.where(jnp.isnan(hi), INF, hi)
+    tnear = jnp.max(lo, axis=1)
+    tfar = jnp.min(hi, axis=1)
     hit = (tfar >= jnp.maximum(tnear, 0.0)) & (tnear <= t_limit)
     return jnp.any(hit)
 

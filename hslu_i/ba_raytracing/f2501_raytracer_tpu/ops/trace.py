@@ -153,12 +153,18 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
 
 
 def _push(state, entry):
-    """Masked per-ray stack push (one-hot over the slot axis)."""
+    """Masked per-ray stack push (one-hot over the slot axis). Pushes that
+    would overflow the stack are counted in `dropped` (never silent)."""
     if entry is None:
         return state
     sp = state["sp"]
     K = state["st_o"].shape[0]
     mask = entry["mask"] & (sp < K)
+    if "dropped" in state:
+        state = dict(state)
+        state["dropped"] = state["dropped"] + jnp.sum(
+            (entry["mask"] & (sp >= K)).astype(jnp.int32)
+        )
     slot = jnp.arange(K, dtype=jnp.int32)[:, None] == sp[None, :]  # (K,R)
     write = slot & mask[None, :]
     state = dict(state)
@@ -194,8 +200,9 @@ def _pop(state):
     return state, entry, active
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def trace_rays_tiled(scene: DeviceScene, cfg: RenderConfig, o_tiles, d_tiles):
+@partial(jax.jit, static_argnames=("cfg", "with_stats"))
+def trace_rays_tiled(scene: DeviceScene, cfg: RenderConfig, o_tiles, d_tiles,
+                     with_stats: bool = False):
     """Trace (n_tiles, T, 3) ray tiles inside ONE program (`lax.map`).
 
     Per-program dispatch is expensive on remote-attached TPUs; a full frame
@@ -203,19 +210,28 @@ def trace_rays_tiled(scene: DeviceScene, cfg: RenderConfig, o_tiles, d_tiles):
 
     def per_tile(od):
         o, d = od
-        return trace_rays.__wrapped__(scene, cfg, o, d)
+        return trace_rays.__wrapped__(scene, cfg, o, d, with_stats=with_stats)
 
-    return jax.lax.map(per_tile, (o_tiles, d_tiles))
+    out = jax.lax.map(per_tile, (o_tiles, d_tiles))
+    if with_stats:
+        color, valid, stats = out
+        return color, valid, {k: jnp.sum(v) for k, v in stats.items()}
+    return out
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions):
+@partial(jax.jit, static_argnames=("cfg", "with_stats"))
+def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions,
+               with_stats: bool = False):
     """Trace R rays to final linear-RGB colors.
 
     `directions` need not be normalized (Ray::new normalizes, ray.rs:54).
     Returns (color (R,3), valid (R,)) — `valid` is the primary-hit mask; the
     caller leaves the framebuffer untouched where it is False
-    (ref raytracer_renderer.rs:1183-1187).
+    (ref raytracer_renderer.rs:1183-1187). With `with_stats=True` a third
+    element is returned: {"dropped": int32} — the number of pending
+    secondary rays truncated by pool/stack capacity (0 in healthy runs; the
+    reference recursion never drops subtrees, so any nonzero value marks a
+    divergence worth investigating).
     """
     R = origins.shape[0]
     eps_dist = float(cfg.camera.epsilon_distance)
@@ -235,8 +251,13 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions):
         jnp.ones((R,), bool),
     )
 
+    def ret(accum, valid, dropped):
+        if with_stats:
+            return accum, valid, {"dropped": dropped}
+        return accum, valid
+
     if not (cfg.reflections or cfg.refractions):
-        return contrib, top_valid
+        return ret(contrib, top_valid, jnp.int32(0))
 
     ratio = max(int(cfg.compaction_ratio), 1)
     # >=: a tile of exactly 256*ratio rays (e.g. 8192 at ratio 32) must also
@@ -244,9 +265,10 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions):
     # wavefront per pop and is ~ratio x slower; on the remote relay that can
     # stretch one program past the worker watchdog (see PERF.md)
     if ratio > 1 and R >= 256 * ratio:
-        return _run_pool(
-            scene, cfg, eps_dist, R, contrib, top_valid, refr_push, refl_push
+        accum, dropped = _run_pool(
+            scene, cfg, eps_dist, R, contrib, refr_push, refl_push
         )
+        return ret(accum, top_valid, dropped)
 
     K = cfg.stack_size
     state = dict(
@@ -259,6 +281,7 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions):
         st_refl=jnp.zeros((K, R), bool),
         accum=contrib,
         it=jnp.int32(0),
+        dropped=jnp.int32(0),
     )
     # refraction pushed first so reflection pops first (the reference
     # evaluates the reflection subtree before the refraction subtree)
@@ -286,7 +309,7 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions):
 
     state = jax.lax.while_loop(cond, chunk_body, state)
 
-    return state["accum"], top_valid
+    return ret(state["accum"], top_valid, state["dropped"])
 
 
 def _pool_append(pool, count, entries, masks, Q):
@@ -316,15 +339,27 @@ def _pool_append(pool, count, entries, masks, Q):
     return pool, count + n_push
 
 
-def _run_pool(scene, cfg, eps_dist, R, contrib, top_valid, refr_push, refl_push):
+def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
     """Compacted wavefront with a dense ray pool: pending rays are stored
     contiguously, so every iteration's cost scales with the service width W,
     not the wavefront size R. Exact: contributions carry path weights, so
-    evaluation order is free.
+    evaluation order is free. Returns (accum, dropped).
     """
     ratio = max(int(cfg.compaction_ratio), 1)
     W = max((R // ratio) // 256 * 256, 256)
-    Q = 2 * R + 2 * W  # prologue pushes at most 2R; iterations net at most +W
+    # Pool capacity: the prologue pushes at most 2R entries; the service loop
+    # is LIFO (top-W pops = a W-wide DFS frontier), so each budget level adds
+    # at most one net +W band of children on top before budgets decrement —
+    # depth chains are bounded by the max depth budget D. 2W headroom keeps a
+    # full append in bounds. Saturation is counted (`dropped`) and reported
+    # loudly instead of silently losing reflection/refraction energy
+    # (the reference recursion never drops subtrees, raytracer_renderer.rs).
+    D = max(
+        cfg.reflection_max_depth if cfg.reflections else 0,
+        cfg.refraction_max_depth if cfg.refractions else 0,
+        1,
+    )
+    Q = 2 * R + 2 * W * (D + 2)
 
     def empty(shape_tail, dtype):
         return jnp.zeros((Q,) + shape_tail, dtype)
@@ -349,7 +384,10 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, top_valid, refr_push, refl_push)
     if entries:
         pool, count = _pool_append(pool, count, entries, masks, Q)
 
-    state = dict(pool=pool, count=count, accum=contrib, it=jnp.int32(0))
+    state = dict(
+        pool=pool, count=count, accum=contrib, it=jnp.int32(0),
+        dropped=jnp.int32(0),
+    )
     max_iters = cfg.max_nodes * ratio
     chunk = max(int(cfg.loop_chunk), 1)
 
@@ -388,8 +426,11 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, top_valid, refr_push, refl_push)
         s["accum"] = s["accum"].at[e["pix"]].add(
             jnp.where(sel_active[:, None], contrib_w, 0.0), mode="drop"
         )
-        # cap so a full append of 2W candidates stays in bounds
-        count = jnp.minimum(start, Q - 2 * W)
+        # cap so a full append of 2W candidates stays in bounds; with Q sized
+        # for the DFS depth bound this should never engage — count any drop
+        capped = jnp.minimum(start, Q - 2 * W)
+        s["dropped"] = s["dropped"] + (start - capped)
+        count = capped
         entries, masks = [], []
         for p in (refr_p, refl_p):
             if p is None:
@@ -413,7 +454,7 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, top_valid, refr_push, refl_push)
         return jax.lax.fori_loop(0, chunk, lambda i, st: guarded(st), s)
 
     state = jax.lax.while_loop(cond, chunk_body, state)
-    return state["accum"], top_valid
+    return state["accum"], state["dropped"]
 
 
 def _body_full(scene, cfg, eps_dist, s):

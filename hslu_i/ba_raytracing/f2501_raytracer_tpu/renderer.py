@@ -118,10 +118,22 @@ class RaytracerRenderer:
                     dirs[:, None, :], (n, aa, 3)
                 ).reshape(-1, 3)
             group = cfg.tiles_per_program or n_tiles
+            ws = bool(cfg.render_timing_debug)  # also surfaces pool drops
             if group >= n_tiles:
-                color, valid = trace_rays_tiled(
-                    dscene, cfg, jax.numpy.asarray(o_all), jax.numpy.asarray(d_all)
+                out = trace_rays_tiled(
+                    dscene, cfg, jax.numpy.asarray(o_all), jax.numpy.asarray(d_all),
+                    with_stats=ws,
                 )
+                if ws:
+                    color, valid, tstats = out
+                    dropped = int(tstats["dropped"])
+                    if dropped:
+                        print(
+                            f"WARNING: ray pool/stack saturated — {dropped} pending "
+                            "secondary rays dropped (reflection/refraction energy lost)"
+                        )
+                else:
+                    color, valid = out
                 color, valid = np.asarray(color), np.asarray(valid)
             else:
                 # bound single-program duration: pad the tile count to a

@@ -26,14 +26,29 @@ _ROOT = os.path.dirname(
 )
 _SRC = os.path.join(_ROOT, "csrc", "rt_host.cpp")
 _BUILD_DIR = os.path.join(_ROOT, "csrc", "build")
-_SO = os.path.join(_BUILD_DIR, "librt_host.so")
 
 
-def _build() -> bool:
+def _so_path() -> Optional[str]:
+    """Build artifact keyed on the SOURCE CONTENT hash (not mtime): a stale
+    binary can never shadow an edited rt_host.cpp, and a fresh clone (where
+    checkout equalizes mtimes) rebuilds exactly when the source changed.
+    Binaries are machine-local (-march=native) and gitignored."""
+    if not os.path.exists(_SRC):
+        return None
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_BUILD_DIR, f"librt_host-{digest}.so")
+
+
+def _build(so: str) -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC, "-lz"]
+    tmp = so + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so)  # atomic: concurrent builders race safely
         return True
     except Exception:
         return False
@@ -47,13 +62,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("RT_DISABLE_NATIVE") == "1":
             return None
-        if not os.path.exists(_SO) or (
-            os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
-        ):
-            if not os.path.exists(_SRC) or not _build():
-                return None
+        so = _so_path()
+        if so is None:
+            return None
+        if not os.path.exists(so) and not _build(so):
+            return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
         except OSError:
             return None
 
