@@ -66,6 +66,7 @@ def main():
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import (
         antialiasing_offsets,
         pixel_scene_coords,
+        tile_major_order,
     )
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays_tiled
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
@@ -101,7 +102,11 @@ def main():
 
     n_pix = width * height
     px, py = np.meshgrid(np.arange(width), np.arange(height))
-    coords = pixel_scene_coords(cfg, px.reshape(-1), py.reshape(-1))
+    # square image patches per kernel tile: the per-ray block culling only
+    # skips work when a whole 256-ray tile agrees (ops/camera.py)
+    order = tile_major_order(width, height)
+    px, py = px.reshape(-1)[order], py.reshape(-1)[order]
+    coords = pixel_scene_coords(cfg, px, py)
     dirs = (coords - np.asarray(cfg.camera.render_ray_focus, np.float32)).astype(np.float32)
 
     # AA sample expansion (same math as RaytracerRenderer.render_device)

@@ -38,6 +38,24 @@ def pixel_scene_coords(cfg: RenderConfig, px: np.ndarray, py: np.ndarray) -> np.
     return np.stack([x, y, z], axis=-1)
 
 
+def tile_major_order(width: int, height: int, ts: int = 16) -> np.ndarray:
+    """Permutation mapping tile-major position -> row-major pixel index.
+
+    The Pallas kernels cull triangle blocks per 256-ray tile; with row-major
+    pixel order one kernel tile is a 256-pixel-wide strip whose shadow
+    frustums span the whole scene, so the per-ray gates never agree to skip
+    a block. Square ts×ts patches keep each kernel tile spatially tight.
+    Pure host-side relabeling: results are scattered back through the same
+    permutation, the traced math is unchanged."""
+    idx = np.arange(width * height, dtype=np.int64).reshape(height, width)
+    out = [
+        idx[ty : ty + ts, tx : tx + ts].reshape(-1)
+        for ty in range(0, height, ts)
+        for tx in range(0, width, ts)
+    ]
+    return np.concatenate(out) if out else idx.reshape(-1)
+
+
 def antialiasing_sampling_directions(rotation_scale: bool) -> np.ndarray:
     """The 8 sampling bias directions [t,l,b,r,tl,tr,bl,br]
     (ref raytracer_renderer.rs:876-916)."""

@@ -219,10 +219,12 @@ def cast_rays(
             scene.tri_httr_f,
             scene.tri_normal3,
             scene.tri_aabb,
+            scene.tri_saabb,
             op,
             dp,
             backface_culling=backface_culling,
             interpret=interpret,
+            sb_sizes=scene.sb_sizes,
         )
         tt, tidx = tt[:R], tidx[:R]
         closer = tt < best_t
@@ -396,12 +398,14 @@ def occlude_rays(
             scene.tri_colr,
             scene.tri_absn,
             scene.tri_aabb,
+            scene.tri_saabb,
             op_,
             dp_,
             mp_,
             backface_culling=backface_culling,
             interpret=interpret,
             block_has_trans=scene.block_has_trans,
+            sb_sizes=scene.sb_sizes,
         )
         dec = dec + tdec[:R]
         opq = opq | topq[:R]

@@ -11,10 +11,17 @@ Structure: the full triangle SoA (~25 f32 planes, Morton-ordered) is small
 enough to reside in VMEM (1.5 MB for the 14.5k-face semesterbild mesh), so
 the grid is 1-D over ray tiles and a `fori_loop` walks the triangle blocks
 in-kernel — a 2-D grid would pay per-step pipeline overhead on every
-(tile, block) cell. Each block carries a Morton-tight AABB; a per-tile slab
-test skips blocks no ray in the tile can touch (`lax.cond`), the TPU
+(tile, block) cell. Each block carries a Morton-tight AABB; per-ray slab
+gates skip blocks no ray in the tile still needs (`lax.cond`), the TPU
 analogue of an acceleration structure's node rejection — the reference
 itself scans every object for every ray (SURVEY.md §3.4).
+
+Shape discipline: the VPU operates on (8, 128) register tiles, so an op on
+an (RT, 1) or (RT, 3) array costs as much as one on (RT, 128) — 97% of the
+lanes idle. All per-ray quantities in the occlusion/lighting path therefore
+live as FLAT (RT,) component vectors ("component-planar" form), and the
+per-(ray, block) AABB gates for ALL blocks are computed in one wide
+(RT, n_blocks) pass per light instead of per-block (RT, 3) slab tests.
 
 Semantics are identical to ops/intersect.py (same reference citations).
 """
@@ -35,6 +42,10 @@ INF = float("inf")
 BIG_IDX = 2**31 - 1
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 def _pair_tuv(woop, o4, d):
     """Woop transform on a (RT, B) pair tile. woop: (12, B) rows =
     [A^T | b] coefficient planes; returns t, u, v, w_d."""
@@ -53,13 +64,42 @@ def _pair_tuv(woop, o4, d):
     return t, u, v, w_d
 
 
-def _block_aabb_hit(aabb_row, o, d, t_limit):
-    """Does ANY ray in the tile hit this block's AABB closer than `t_limit`?
-    `t_limit` may be a scalar or a per-ray (RT,) vector. aabb_row: (8,) =
-    [min xyz | max xyz | pad]. NaN-robust slab test: a zero direction
-    component with the origin exactly on that slab plane yields 0*inf=NaN;
-    mapping NaN lo/hi to -inf/+inf treats that degenerate lane as inside the
-    slab, so the cull stays conservative (never a wrong miss)."""
+def _pair_tuv_comp(woop, ox, oy, oz, dx, dy, dz):
+    """_pair_tuv with the ray origin/direction as flat (RT,) components
+    (the homogeneous 1-coordinate folds into adding the b-row directly)."""
+
+    def tfo(k0):
+        return (
+            ox[:, None] * woop[k0][None, :]
+            + oy[:, None] * woop[k0 + 3][None, :]
+            + oz[:, None] * woop[k0 + 6][None, :]
+            + woop[k0 + 9][None, :]
+        )
+
+    def tfd(k0):
+        return (
+            dx[:, None] * woop[k0][None, :]
+            + dy[:, None] * woop[k0 + 3][None, :]
+            + dz[:, None] * woop[k0 + 6][None, :]
+        )
+
+    u_o, v_o, w_o = tfo(0), tfo(1), tfo(2)
+    u_d, v_d, w_d = tfd(0), tfd(1), tfd(2)
+    t = -w_o / w_d
+    u = u_o + t * u_d
+    v = v_o + t * v_d
+    return t, u, v, w_d
+
+
+def _block_gate(aabb_row, o, d, t_limit):
+    """Per-ray AABB gate: does each ray's segment [0, t_limit] cross this
+    block's AABB? `t_limit` is per-ray (RT,) (or scalar); rays whose limit
+    excludes the box (occluded / light reached first / parked lanes) drop
+    out individually, so a coherent tile can skip the whole block.
+    aabb_row: (8,) = [min xyz | max xyz | pad]. NaN-robust slab test: a zero
+    direction component with the origin exactly on that slab plane yields
+    0*inf=NaN; mapping NaN lo/hi to -inf/+inf treats that degenerate lane as
+    inside the slab, so the cull stays conservative (never a wrong miss)."""
     inv = 1.0 / d  # (RT,3); ±inf on zero components
     t1 = (aabb_row[0:3][None, :] - o) * inv
     t2 = (aabb_row[3:6][None, :] - o) * inv
@@ -69,14 +109,58 @@ def _block_aabb_hit(aabb_row, o, d, t_limit):
     hi = jnp.where(jnp.isnan(hi), INF, hi)
     tnear = jnp.max(lo, axis=1)
     tfar = jnp.min(hi, axis=1)
-    hit = (tfar >= jnp.maximum(tnear, 0.0)) & (tnear <= t_limit)
-    return jnp.any(hit)
+    return (tfar >= jnp.maximum(tnear, 0.0)) & (tnear <= t_limit)
+
+
+def _block_aabb_hit(aabb_row, o, d, t_limit):
+    """Tile-level cull: ANY ray's segment crosses this block's AABB."""
+    return jnp.any(_block_gate(aabb_row, o, d, t_limit))
+
+
+def _gate_flat(box_ref, b, ox, oy, oz, invx, invy, invz, t_limit):
+    """Per-ray gate for ONE block, flat (RT,) form: box_ref is an SMEM
+    (n, 8) AABB table (scalar reads), b a python int. ~25 flat VPU ops.
+    Same NaN-robust slab semantics as `_block_gate`."""
+    tn, tf = None, None
+    for c, (oc, ic) in enumerate(((ox, invx), (oy, invy), (oz, invz))):
+        t1 = (box_ref[b, c] - oc) * ic
+        t2 = (box_ref[b, c + 3] - oc) * ic
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        lo = jnp.where(jnp.isnan(lo), -INF, lo)
+        hi = jnp.where(jnp.isnan(hi), INF, hi)
+        tn = lo if tn is None else jnp.maximum(tn, lo)
+        tf = hi if tf is None else jnp.minimum(tf, hi)
+    return (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_limit)
+
+
+def _superblock_groups(nb, sb_sizes):
+    """Static superblock partition: group g covers sb_sizes[g] consecutive
+    blocks (matches tri_saabb rows, scene/device.py). Empty sb_sizes means
+    no hierarchy info: every block is its own (ungated) group."""
+    if not sb_sizes:
+        return [range(b, b + 1) for b in range(nb)]
+    assert sum(sb_sizes) == nb, (sb_sizes, nb)
+    out, s = [], 0
+    for n in sb_sizes:
+        out.append(range(s, s + n))
+        s += n
+    return out
 
 
 def _tri_validity(woop, nsq, tval, o4, d):
     t, u, v, w_d = _pair_tuv(woop, o4, d)
+    return t, _tri_valid_mask(t, u, v, w_d, nsq, tval)
+
+
+def _tri_validity_comp(woop, nsq, tval, ox, oy, oz, dx, dy, dz):
+    t, u, v, w_d = _pair_tuv_comp(woop, ox, oy, oz, dx, dy, dz)
+    return t, _tri_valid_mask(t, u, v, w_d, nsq, tval)
+
+
+def _tri_valid_mask(t, u, v, w_d, nsq, tval):
     det = w_d * nsq[None, :]
-    valid = (
+    return (
         (t > F32_EPSILON)
         & (u >= 0.0)
         & (v >= 0.0)
@@ -84,7 +168,6 @@ def _tri_validity(woop, nsq, tval, o4, d):
         & (jnp.abs(det) > F32_EPSILON)
         & (tval[None, :] != 0.0)
     )
-    return t, valid
 
 
 def _cos_planes(d, tn):
@@ -95,9 +178,23 @@ def _cos_planes(d, tn):
     )
 
 
+def _cos_planes_comp(dx, dy, dz, tn):
+    return (
+        dx[:, None] * tn[0][None, :]
+        + dy[:, None] * tn[1][None, :]
+        + dz[:, None] * tn[2][None, :]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-hit cast kernel
+# ---------------------------------------------------------------------------
+
+
 def _cast_kernel(
     o4_ref, d_ref, woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, aabb_ref,
-    t_out, idx_out, *, nb, block_size, backface_culling, use_aabb,
+    saabb_ref, t_out, idx_out, *, nb, block_size, backface_culling, use_aabb,
+    sb_sizes,
 ):
     o4 = o4_ref[:]
     d = d_ref[:]
@@ -106,54 +203,67 @@ def _cast_kernel(
     # running minimum carried in registers; outputs written once at the end.
     # NB: block indices are python ints — dynamic VMEM indexing (traced
     # index) costs ~milliseconds per access on TPU.
-    best_t = jnp.full((RT, 1), INF, jnp.float32)
-    best_idx = jnp.full((RT, 1), BIG_IDX, jnp.int32)
+    carry = (
+        jnp.full((RT, 1), INF, jnp.float32),   # best_t
+        jnp.full((RT, 1), BIG_IDX, jnp.int32),  # best_idx
+    )
 
-    for b in range(nb):
-
-        def compute(_, b=b):
-            woop = woop_ref[b]
-            t, valid = _tri_validity(woop, nsq_ref[b, 0], valid_ref[b, 0], o4, d)
-            if backface_culling:
-                cos_dn = _cos_planes(d, tnorm_ref[b])
-                valid &= (cos_dn < 0.75) | (httr_ref[b, 0][None, :] != 0.0)
-            t = jnp.where(valid, t, INF)
-            tmin = jnp.min(t, axis=1, keepdims=True)
-            cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            idx = jnp.min(
-                jnp.where(t == tmin, cols + b * block_size, jnp.int32(BIG_IDX)),
-                axis=1,
-                keepdims=True,
-            )
-            return tmin, idx
-
-        if use_aabb:
-            # skip blocks farther than every ray's current best hit
-            hit = _block_aabb_hit(aabb_ref[b], o3, d, jnp.max(best_t))
-            tmin, idx = jax.lax.cond(
-                hit,
-                compute,
-                lambda _: (jnp.full((RT, 1), INF, jnp.float32),
-                           jnp.full((RT, 1), BIG_IDX, jnp.int32)),
-                0,
-            )
-        else:
-            tmin, idx = compute(0)
+    def compute(b, c):
+        best_t, best_idx = c
+        woop = woop_ref[b]
+        t, valid = _tri_validity(woop, nsq_ref[b, 0], valid_ref[b, 0], o4, d)
+        if backface_culling:
+            cos_dn = _cos_planes(d, tnorm_ref[b])
+            valid &= (cos_dn < 0.75) | (httr_ref[b, 0][None, :] != 0.0)
+        t = jnp.where(valid, t, INF)
+        tmin = jnp.min(t, axis=1, keepdims=True)
+        cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        idx = jnp.min(
+            jnp.where(t == tmin, cols + b * block_size, jnp.int32(BIG_IDX)),
+            axis=1,
+            keepdims=True,
+        )
         closer = tmin < best_t
-        best_idx = jnp.where(closer, idx, best_idx)
-        best_t = jnp.where(closer, tmin, best_t)
+        return jnp.where(closer, tmin, best_t), jnp.where(closer, idx, best_idx)
 
-    t_out[:] = best_t
-    idx_out[:] = best_idx
+    def run_block(b, c):
+        if not use_aabb:
+            return compute(b, c)
+        # per-ray t-limit: a block farther than THIS ray's current best hit
+        # can't improve it; blocks are stored front-to-back so best_t
+        # tightens early (scene/device.py)
+        gate = jnp.any(_block_gate(aabb_ref[b], o3, d, c[0][:, 0]))
+        return jax.lax.cond(gate, lambda cc: compute(b, cc), lambda cc: cc, c)
+
+    groups = _superblock_groups(nb, sb_sizes)
+    for gi, grp in enumerate(groups):
+
+        def run_group(c, grp=grp):
+            for b in grp:
+                c = run_block(b, c)
+            return c
+
+        if use_aabb and len(grp) > 1:
+            # two-level cull: one slab test skips the whole superblock
+            gate = jnp.any(_block_gate(saabb_ref[gi], o3, d, carry[0][:, 0]))
+            carry = jax.lax.cond(gate, run_group, lambda c: c, carry)
+        else:
+            carry = run_group(carry)
+
+    t_out[:] = carry[0]
+    idx_out[:] = carry[1]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("backface_culling", "ray_tile", "use_aabb", "interpret"),
+    static_argnames=(
+        "backface_culling", "ray_tile", "use_aabb", "interpret", "sb_sizes",
+    ),
 )
 def pallas_cast_triangles(
-    tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3, tri_aabb,
+    tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3, tri_aabb, tri_saabb,
     o, d, backface_culling=False, ray_tile=256, use_aabb=True, interpret=False,
+    sb_sizes=(),
 ):
     """Nearest triangle hit: (t (R,), local_tri_idx (R,)). The whole
     triangle SoA lives in VMEM; R must be a multiple of ray_tile."""
@@ -175,6 +285,7 @@ def pallas_cast_triangles(
             block_size=B,
             backface_culling=backface_culling,
             use_aabb=use_aabb,
+            sb_sizes=sb_sizes,
         ),
         grid=(R // ray_tile,),
         in_specs=[
@@ -186,6 +297,7 @@ def pallas_cast_triangles(
             full((nb, 1, B)),
             full((nb, 3, B)),
             full((nb, 8)),
+            full(tri_saabb.shape),
         ],
         out_specs=[ray((ray_tile, 1)), ray((ray_tile, 1))],
         out_shape=[
@@ -194,197 +306,35 @@ def pallas_cast_triangles(
         ],
         interpret=interpret,
     )(o4, d, tri_woop, tri_nsq[:, None], tri_valid[:, None], tri_httr[:, None],
-      tri_normal3, tri_aabb)
+      tri_normal3, tri_aabb, tri_saabb)
     return t_out[:, 0], idx_out[:, 0]
 
 
-def _occlude_kernel(
-    o4_ref, d_ref, maxd_ref, woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref,
-    ior_ref, op_ref, met_ref, colr_ref, absn_ref, aabb_ref,
-    dec_out, opq_out, fsub_out, *, nb, backface_culling, use_aabb,
-    block_has_trans,
-):
-    o4 = o4_ref[:]
-    d = d_ref[:]
-    o3 = o4[:, 0:3]
-    maxd = maxd_ref[:]
-    RT = o4.shape[0]
-    dec = jnp.zeros((RT, 1), jnp.float32)
-    opq = jnp.zeros((RT, 1), jnp.float32)
-    fsub = jnp.zeros((RT, 3), jnp.float32)
-    maxd_all = jnp.max(maxd)
-
-    for b in range(nb):
-
-        trans_block = block_has_trans[b] if block_has_trans else True
-
-        def compute(_, b=b, trans_block=trans_block):
-            woop = woop_ref[b]
-            t, valid = _tri_validity(woop, nsq_ref[b, 0], valid_ref[b, 0], o4, d)
-            httr = httr_ref[b, 0][None, :] != 0.0
-            if backface_culling or trans_block:
-                tn = tnorm_ref[b]
-                cos_nv = -_cos_planes(d, tn)
-            if backface_culling:
-                valid &= (-cos_nv < 0.75) | httr
-            hit = valid & (t <= maxd)
-
-            if trans_block:
-                # shadow Fresnel transmittance, red channel
-                # (material.rs:467-525 with other_ior=1; raytracer.rs:57-74)
-                ior = ior_ref[b, 0][None, :]
-                met = met_ref[b, 0][None, :]
-                col_r = colr_ref[b, 0][None, :]
-                opv = op_ref[b, 0][None, :]
-                cos_theta = jnp.abs(cos_nv)
-                is_inside = cos_nv < 0.0
-                eta_t = jnp.where(is_inside, ior, 1.0 / ior)
-                sin2_t = eta_t * eta_t * (1.0 - cos_theta * cos_theta)
-                is_refl = met > 0.0
-                is_tir = (httr & is_inside & (sin2_t > 1.0)) | is_refl
-                f0 = ((1.0 - ior) / (1.0 + ior)) ** 2
-                f0r = f0 + (col_r - f0) * met
-                omc = 1.0 - cos_theta
-                fres_r = f0r + (1.0 - f0r) * omc * omc * omc * omc * omc
-                f_r = jnp.where(is_tir, jnp.where(is_refl, met, 1.0), fres_r)
-                t_red = jnp.where(httr, 1.0 - f_r, 0.0)
-                io = jnp.where(httr, opv, 0.0) * t_red
-            else:
-                # all-opaque block: every hit decrements opacity fully
-                io = jnp.float32(0.0)
-
-            hit_f = jnp.where(hit, 1.0, 0.0)
-            d_dec = jnp.sum(hit_f * (1.0 - io), axis=1, keepdims=True)
-            d_opq = jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=1, keepdims=True)
-            absn = absn_ref[b]
-            fr = jnp.sum(hit_f * absn[0][None, :], axis=1, keepdims=True)
-            fg = jnp.sum(hit_f * absn[1][None, :], axis=1, keepdims=True)
-            fb = jnp.sum(hit_f * absn[2][None, :], axis=1, keepdims=True)
-            return d_dec, d_opq, jnp.concatenate([fr, fg, fb], axis=1)
-
-        if use_aabb:
-            # skip when no ray reaches the block OR every ray is already
-            # fully occluded by an opaque hit — the reference's early-exit
-            # (raytracer.rs:94-96); outputs for occluded rays are unused
-            # downstream (light_valid is false), so this is result-exact
-            hit = _block_aabb_hit(aabb_ref[b], o3, d, maxd_all) & (jnp.min(opq) < 1.0)
-            d_dec, d_opq, d_fsub = jax.lax.cond(
-                hit,
-                compute,
-                lambda _: (jnp.zeros((RT, 1), jnp.float32),
-                           jnp.zeros((RT, 1), jnp.float32),
-                           jnp.zeros((RT, 3), jnp.float32)),
-                0,
-            )
-        else:
-            d_dec, d_opq, d_fsub = compute(0)
-        dec = dec + d_dec
-        opq = jnp.maximum(opq, d_opq)
-        fsub = fsub + d_fsub
-
-    dec_out[:] = dec
-    opq_out[:] = opq
-    fsub_out[:] = fsub
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "backface_culling", "ray_tile", "use_aabb", "interpret", "block_has_trans",
-    ),
-)
-def pallas_occlude_triangles(
-    tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
-    tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb,
-    o, d, max_distance, backface_culling=False, ray_tile=256, use_aabb=True,
-    interpret=False, block_has_trans=(),
-):
-    """Shadow accumulators over triangle blocks: returns
-    (opacity_decrement_sum (R,), any_opaque (R,) bool, filter_sub (R,3))."""
-    R = o.shape[0]
-    nb, _, B = tri_woop.shape
-    assert R % ray_tile == 0, (R, ray_tile)
-    o4 = jnp.concatenate([o, jnp.ones((R, 1), o.dtype)], axis=1)
-    maxd = max_distance[:, None]
-
-    def full(s):
-        return pl.BlockSpec(s, lambda i: tuple(0 for _ in s), memory_space=pltpu.VMEM)
-
-    def ray(s):
-        return pl.BlockSpec(s, lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    dec, opq, fsub = pl.pallas_call(
-        functools.partial(
-            _occlude_kernel,
-            nb=nb,
-            backface_culling=backface_culling,
-            use_aabb=use_aabb,
-            block_has_trans=block_has_trans,
-        ),
-        grid=(R // ray_tile,),
-        in_specs=[
-            ray((ray_tile, 4)),
-            ray((ray_tile, 3)),
-            ray((ray_tile, 1)),
-            full((nb, 12, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 3, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 3, B)),
-            full((nb, 8)),
-        ],
-        out_specs=[
-            ray((ray_tile, 1)),
-            ray((ray_tile, 1)),
-            ray((ray_tile, 3)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R, 3), jnp.float32),
-        ],
-        interpret=interpret,
-    )(
-        o4, d, maxd, tri_woop, tri_nsq[:, None], tri_valid[:, None],
-        tri_httr[:, None], tri_normal3,
-        tri_ior[:, None], tri_op[:, None], tri_met[:, None], tri_colr[:, None],
-        tri_absn, tri_aabb,
-    )
-    return dec[:, 0], opq[:, 0] > 0.0, fsub
-
-
 # ---------------------------------------------------------------------------
-# Fused direct-lighting kernel: for each ray, loop the lights in-kernel,
-# run the full shadow-occlusion scan (spheres + triangle blocks) and the
-# reference's shading math (ref raytracer_renderer.rs:731-874,
-# light.rs:261-300, raytracer.rs:24-106), accumulating direct+specular —
-# one launch instead of per-light occlusion launches plus XLA shading glue.
+# Shadow occlusion (component-planar): shared by the standalone occlusion
+# kernel and the fused direct-lighting kernel.
 # ---------------------------------------------------------------------------
 
 
-def _sphere_occl_planes(sph, o, d, maxd, backface_culling=False):
-    """Sphere shadow accumulators from the packed (16,128) sphere planes.
-    Returns (dec (RT,1), opq (RT,1), fsub (RT,3))."""
-    cx = sph[0][None, :]
-    cy = sph[1][None, :]
-    cz = sph[2][None, :]
-    rsq = sph[3][None, :]
-    ior = sph[4][None, :]
-    opv = sph[5][None, :]
-    met = sph[6][None, :]
-    colr = sph[7][None, :]
-    httr = sph[8][None, :] != 0.0
-    valid_s = sph[12][None, :] != 0.0
+def _sphere_occl_comp(sph, sox, soy, soz, dx, dy, dz, maxd, backface_culling=False):
+    """Sphere shadow accumulators from the packed (S_pad, 16) sphere table
+    (spheres on sublanes). Flat (RT,) ray components; returns
+    (dec, opq, fr, fg, fb), all (RT,)."""
+    cx = sph[:, 0:1]
+    cy = sph[:, 1:2]
+    cz = sph[:, 2:3]
+    rsq = sph[:, 3:4]
+    ior = sph[:, 4:5]
+    opv = sph[:, 5:6]
+    met = sph[:, 6:7]
+    colr = sph[:, 7:8]
+    httr = sph[:, 8:9] != 0.0
+    valid_s = sph[:, 12:13] != 0.0
 
-    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
-    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
-    vx, vy, vz = ox - cx, oy - cy, oz - cz  # (RT,S)
-    b = 2.0 * (dx * vx + dy * vy + dz * vz)
+    vx = sox[None, :] - cx
+    vy = soy[None, :] - cy
+    vz = soz[None, :] - cz  # (S, RT)
+    b = 2.0 * (dx[None, :] * vx + dy[None, :] * vy + dz[None, :] * vz)
     c = vx * vx + vy * vy + vz * vz - rsq
     disc = b * b - 4.0 * c
     disc_pos = disc >= 0.0
@@ -400,14 +350,16 @@ def _sphere_occl_planes(sph, o, d, maxd, backface_culling=False):
 
     # normal at hit for the shadow fresnel (raytracer.rs:57-74)
     t_safe = jnp.where(sval, t, 0.0)
-    px, py_, pz = ox + dx * t_safe, oy + dy * t_safe, oz + dz * t_safe
+    px = sox[None, :] + dx[None, :] * t_safe
+    py_ = soy[None, :] + dy[None, :] * t_safe
+    pz = soz[None, :] + dz[None, :] * t_safe
     nx, ny, nz = px - cx, py_ - cy, pz - cz
     inv_n = 1.0 / jnp.sqrt(nx * nx + ny * ny + nz * nz)
-    cos_nv = -(dx * nx + dy * ny + dz * nz) * inv_n
+    cos_nv = -(dx[None, :] * nx + dy[None, :] * ny + dz[None, :] * nz) * inv_n
     if backface_culling:
         # ref sphere.rs:137-151 via the shared intersect impl
         sval &= (-cos_nv < 0.75) | httr
-    hit = sval & (t <= maxd)
+    hit = sval & (t <= maxd[None, :])
 
     cos_theta = jnp.abs(cos_nv)
     is_inside = cos_nv < 0.0
@@ -424,219 +376,173 @@ def _sphere_occl_planes(sph, o, d, maxd, backface_culling=False):
     io = jnp.where(httr, opv, 0.0) * t_red
 
     hit_f = jnp.where(hit, 1.0, 0.0)
-    dec = jnp.sum(hit_f * (1.0 - io), axis=1, keepdims=True)
-    opq = jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=1, keepdims=True)
-    fsub = jnp.concatenate(
-        [
-            jnp.sum(hit_f * sph[9][None, :], axis=1, keepdims=True),
-            jnp.sum(hit_f * sph[10][None, :], axis=1, keepdims=True),
-            jnp.sum(hit_f * sph[11][None, :], axis=1, keepdims=True),
-        ],
-        axis=1,
-    )
-    return dec, opq, fsub
+    dec = jnp.sum(hit_f * (1.0 - io), axis=0)
+    opq = jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=0)
+    fr = jnp.sum(hit_f * sph[:, 9:10], axis=0)
+    fg = jnp.sum(hit_f * sph[:, 10:11], axis=0)
+    fb = jnp.sum(hit_f * sph[:, 11:12], axis=0)
+    return dec, opq, fr, fg, fb
 
 
-def _tri_occl_unrolled(
+def _tri_occl_comp(
     woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref, met_ref,
-    colr_ref, absn_ref, aabb_ref, o4, d, maxd, dec, opq, fsub,
-    *, nb, backface_culling, use_aabb, block_has_trans,
+    colr_ref, absn_ref, aabb_ref, saabb_ref, sox, soy, soz, dx, dy, dz, maxd,
+    dec, opq, fr, fg, fb,
+    *, nb, backface_culling, use_aabb, block_has_trans, sb_sizes,
 ):
-    o3 = o4[:, 0:3]
-    maxd_all = jnp.max(maxd)
-    RT = o4.shape[0]
-    for b in range(nb):
-        trans_block = block_has_trans[b] if block_has_trans else True
+    """Shadow accumulation over triangle blocks with two-level per-ray
+    culling. aabb_ref/saabb_ref are SMEM AABB tables; per-block flat gates
+    test whether each ray's segment [0, maxd] crosses the box (maxd is
+    0 for parked lanes, unreachable lights and light-behind-surface lanes).
+    A block is skipped when NO ray both crosses it AND is still unoccluded —
+    the reference's opaque early-exit (raytracer.rs:94-96; outputs of
+    fully-occluded rays are unused downstream, so skipping is result-exact).
+    All per-ray accumulators are flat (RT,)."""
+    invx, invy, invz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    reachable = maxd > 0.0
 
-        def compute(_, b=b, trans_block=trans_block):
-            woop = woop_ref[b]
-            t, valid = _tri_validity(woop, nsq_ref[b, 0], valid_ref[b, 0], o4, d)
-            httr = httr_ref[b, 0][None, :] != 0.0
-            if backface_culling or trans_block:
-                tn = tnorm_ref[b]
-                cos_nv = -_cos_planes(d, tn)
-            if backface_culling:
-                valid &= (-cos_nv < 0.75) | httr
-            hit = valid & (t <= maxd)
-            if trans_block:
-                ior = ior_ref[b, 0][None, :]
-                met = met_ref[b, 0][None, :]
-                col_r = colr_ref[b, 0][None, :]
-                opv = op_ref[b, 0][None, :]
-                cos_theta = jnp.abs(cos_nv)
-                is_inside = cos_nv < 0.0
-                eta_t = jnp.where(is_inside, ior, 1.0 / ior)
-                sin2_t = eta_t * eta_t * (1.0 - cos_theta * cos_theta)
-                is_refl = met > 0.0
-                is_tir = (httr & is_inside & (sin2_t > 1.0)) | is_refl
-                f0 = ((1.0 - ior) / (1.0 + ior)) ** 2
-                f0r = f0 + (col_r - f0) * met
-                omc = 1.0 - cos_theta
-                fres_r = f0r + (1.0 - f0r) * omc * omc * omc * omc * omc
-                f_r = jnp.where(is_tir, jnp.where(is_refl, met, 1.0), fres_r)
-                t_red = jnp.where(httr, 1.0 - f_r, 0.0)
-                io = jnp.where(httr, opv, 0.0) * t_red
-            else:
-                io = jnp.float32(0.0)
-            hit_f = jnp.where(hit, 1.0, 0.0)
-            d_dec = jnp.sum(hit_f * (1.0 - io), axis=1, keepdims=True)
-            d_opq = jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=1, keepdims=True)
-            absn = absn_ref[b]
-            d_fsub = jnp.concatenate(
-                [
-                    jnp.sum(hit_f * absn[0][None, :], axis=1, keepdims=True),
-                    jnp.sum(hit_f * absn[1][None, :], axis=1, keepdims=True),
-                    jnp.sum(hit_f * absn[2][None, :], axis=1, keepdims=True),
-                ],
-                axis=1,
-            )
-            return d_dec, d_opq, d_fsub
-
-        if use_aabb:
-            hit_blk = _block_aabb_hit(aabb_ref[b], o3, d, maxd_all) & (jnp.min(opq) < 1.0)
-            d_dec, d_opq, d_fsub = jax.lax.cond(
-                hit_blk,
-                compute,
-                lambda _: (jnp.zeros((RT, 1), jnp.float32),
-                           jnp.zeros((RT, 1), jnp.float32),
-                           jnp.zeros((RT, 3), jnp.float32)),
-                0,
-            )
+    def compute(b, carry, trans_block):
+        dec, opq, fr, fg, fb = carry
+        woop = woop_ref[b]
+        t, valid = _tri_validity_comp(
+            woop, nsq_ref[b, 0], valid_ref[b, 0], sox, soy, soz, dx, dy, dz
+        )
+        httr = httr_ref[b, 0][None, :] != 0.0
+        if backface_culling or trans_block:
+            cos_nv = -_cos_planes_comp(dx, dy, dz, tnorm_ref[b])
+        if backface_culling:
+            valid &= (-cos_nv < 0.75) | httr
+        hit = valid & (t <= maxd[:, None])
+        if trans_block:
+            # shadow Fresnel transmittance, red channel
+            # (material.rs:467-525 with other_ior=1; raytracer.rs:57-74)
+            ior = ior_ref[b, 0][None, :]
+            met = met_ref[b, 0][None, :]
+            col_r = colr_ref[b, 0][None, :]
+            opv = op_ref[b, 0][None, :]
+            cos_theta = jnp.abs(cos_nv)
+            is_inside = cos_nv < 0.0
+            eta_t = jnp.where(is_inside, ior, 1.0 / ior)
+            sin2_t = eta_t * eta_t * (1.0 - cos_theta * cos_theta)
+            is_refl = met > 0.0
+            is_tir = (httr & is_inside & (sin2_t > 1.0)) | is_refl
+            f0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+            f0r = f0 + (col_r - f0) * met
+            omc = 1.0 - cos_theta
+            fres_r = f0r + (1.0 - f0r) * omc * omc * omc * omc * omc
+            f_r = jnp.where(is_tir, jnp.where(is_refl, met, 1.0), fres_r)
+            t_red = jnp.where(httr, 1.0 - f_r, 0.0)
+            io = jnp.where(httr, opv, 0.0) * t_red
         else:
-            d_dec, d_opq, d_fsub = compute(0)
-        dec = dec + d_dec
-        opq = jnp.maximum(opq, d_opq)
-        fsub = fsub + d_fsub
-    return dec, opq, fsub
+            # all-opaque block: every hit decrements opacity fully
+            io = jnp.float32(0.0)
+        hit_f = jnp.where(hit, 1.0, 0.0)
+        absn = absn_ref[b]
+        return (
+            dec + jnp.sum(hit_f * (1.0 - io), axis=1),
+            jnp.maximum(opq, jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=1)),
+            fr + jnp.sum(hit_f * absn[0][None, :], axis=1),
+            fg + jnp.sum(hit_f * absn[1][None, :], axis=1),
+            fb + jnp.sum(hit_f * absn[2][None, :], axis=1),
+        )
+
+    def run_block(b, carry):
+        trans_block = block_has_trans[b] if block_has_trans else True
+        if not use_aabb:
+            return compute(b, carry, trans_block)
+        gate = _gate_flat(aabb_ref, b, sox, soy, soz, invx, invy, invz, maxd)
+        alive = gate & reachable & (carry[1] < 1.0)
+        return jax.lax.cond(
+            jnp.any(alive), lambda c: compute(b, c, trans_block), lambda c: c, carry
+        )
+
+    carry = (dec, opq, fr, fg, fb)
+    groups = _superblock_groups(nb, sb_sizes)
+    for gi, grp in enumerate(groups):
+
+        def run_group(c, grp=grp):
+            for b in grp:
+                c = run_block(b, c)
+            return c
+
+        if use_aabb and len(grp) > 1:
+            # two-level cull: one superblock slab test skips the whole group
+            gate = _gate_flat(
+                saabb_ref, gi, sox, soy, soz, invx, invy, invz, maxd
+            )
+            alive = gate & reachable & (carry[1] < 1.0)
+            carry = jax.lax.cond(jnp.any(alive), run_group, lambda c: c, carry)
+        else:
+            carry = run_group(carry)
+    return carry
 
 
-def _light_shade_kernel(
-    lights_ref, sph_ref,
-    woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref, met_ref,
-    colr_ref, absn_ref, aabb_ref,
-    point_ref, normal_ref, view_ref, color_ref, met_r_ref, shin_ref, valid_r_ref,
-    direct_out, spec_out,
-    *, n_lights, nb, eps_dist, backface_culling, use_aabb, block_has_trans,
+def _occlude_kernel(
+    o_ref, d_ref, maxd_ref, woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref,
+    ior_ref, op_ref, met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
+    dec_out, opq_out, fsub_out, *, nb, backface_culling, use_aabb,
+    block_has_trans, sb_sizes,
 ):
-    point = point_ref[:]
-    normal = normal_ref[:]
-    view = view_ref[:]
-    mat_color = color_ref[:]
-    metallic = met_r_ref[:]  # (RT,1) — unused in lighting, kept for layout
-    shininess = shin_ref[:]
-    valid = valid_r_ref[:] != 0.0  # (RT,1)
-    RT = point.shape[0]
-
-    has_spec = shininess > 0.0
-    spec_exp = jnp.maximum(shininess * 512.0, 1.0)
-
-    def light_body(l, acc):
-        direct, spec_acc = acc
-        row = lights_ref[l]  # (8,)
-        lpos = row[0:3]
-        lcolor = row[3:6]
-        lint = row[6]
-
-        ltp = lpos[None, :] - point  # (RT,3)
-        lt2 = jnp.sum(ltp * ltp, axis=1, keepdims=True)
-        ldir = ltp * (1.0 / jnp.sqrt(lt2))
-        so = point + ldir * eps_dist
-        delta = lpos[None, :] - so
-        # zero max-distance on invalid lanes so the per-tile segment prune
-        # (maxd_all) isn't poisoned by parked rays
-        maxd = jnp.where(valid, jnp.sqrt(jnp.sum(delta * delta, axis=1, keepdims=True)), 0.0)
-
-        dec, opq, fsub = _sphere_occl_planes(sph_ref[:], so, ldir, maxd, backface_culling)
-        o4 = jnp.concatenate([so, jnp.ones((RT, 1), so.dtype)], axis=1)
-        dec, opq, fsub = _tri_occl_unrolled(
-            woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref,
-            met_ref, colr_ref, absn_ref, aabb_ref, o4, ldir, maxd,
-            dec, opq, fsub,
-            nb=nb, backface_culling=backface_culling, use_aabb=use_aabb,
-            block_has_trans=block_has_trans,
-        )
-        combined_opacity = jnp.clip(1.0 - dec, 0.0, 1.0)
-        color_filter = 1.0 - fsub
-        can_reach = (opq < 1.0) & valid
-
-        # PointLight::calculate_contribution_at (light.rs:261-300)
-        light_distance = jnp.sqrt(lt2) + F32_EPSILON
-        cos_in = jnp.sum(ltp * normal, axis=1, keepdims=True) / light_distance
-        angle_pos = cos_in > 0.0
-        att = 0.95 * (F32_EPSILON + light_distance + light_distance * light_distance)
-        att_sig = (jnp.tanh(att) + 1.0) / 2.0
-        ci = jnp.where(angle_pos, cos_in * lint * jnp.clip(att_sig, 0.0, 1.0), 0.0)
-        ccol = jnp.where(angle_pos, mat_color * lcolor[None, :], 0.0)
-
-        lcs = jnp.where(can_reach, ccol / color_filter, ccol)
-        diffuse = jnp.maximum(jnp.sum(normal * ldir, axis=1, keepdims=True), 0.0)
-
-        sr = ldir - 2.0 * jnp.sum(ldir * normal, axis=1, keepdims=True) * normal
-        sr_n = sr * (1.0 / jnp.sqrt(jnp.sum(sr * sr, axis=1, keepdims=True)))
-        spec_v = jnp.maximum(jnp.sum(sr_n * view, axis=1, keepdims=True), 0.0) ** spec_exp
-        spec_f = jnp.where(has_spec, spec_v, 0.0)
-
-        op_sel = jnp.where(can_reach, combined_opacity, 1.0)
-        lf = diffuse * ci * op_sel
-        sf = ci * op_sel * spec_f
-        lvalid = (diffuse > 0.0) & can_reach
-
-        direct = direct + jnp.where(lvalid & valid, mat_color * lcs * lf, 0.0)
-        spec_acc = spec_acc + jnp.where(
-            lvalid & valid & has_spec, lcolor[None, :] * sf, 0.0
-        )
-        return direct, spec_acc
-
-    direct, spec_acc = jax.lax.fori_loop(
-        0, n_lights, light_body,
-        (jnp.zeros((RT, 3), jnp.float32), jnp.zeros((RT, 3), jnp.float32)),
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    maxd = maxd_ref[0]
+    RT = ox.shape[0]
+    z = jnp.zeros((RT,), jnp.float32)
+    dec, opq, fr, fg, fb = _tri_occl_comp(
+        woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref,
+        met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
+        ox, oy, oz, dx, dy, dz, maxd,
+        z, z, z, z, z,
+        nb=nb, backface_culling=backface_culling, use_aabb=use_aabb,
+        block_has_trans=block_has_trans, sb_sizes=sb_sizes,
     )
-    direct_out[:] = direct
-    spec_out[:] = spec_acc
+    dec_out[:] = dec[None, :]
+    opq_out[:] = opq[None, :]
+    fsub_out[:] = jnp.stack([fr, fg, fb])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_lights", "eps_dist", "backface_culling", "ray_tile", "use_aabb",
-        "interpret", "block_has_trans",
+        "backface_culling", "ray_tile", "use_aabb", "interpret",
+        "block_has_trans", "sb_sizes",
     ),
 )
-def pallas_light_shade(
-    light_pack, sph_pack,
+def pallas_occlude_triangles(
     tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
-    tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb,
-    point, normal, view, color, metallic, shininess, valid,
-    n_lights, eps_dist, backface_culling=False, ray_tile=256, use_aabb=True,
-    interpret=False, block_has_trans=(),
+    tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb, tri_saabb,
+    o, d, max_distance, backface_culling=False, ray_tile=256, use_aabb=True,
+    interpret=False, block_has_trans=(), sb_sizes=(),
 ):
-    """Direct + specular lighting for R rays over n_lights point lights
-    (shadow occlusion + shading fused). Returns (direct (R,3), spec (R,3))."""
-    R = point.shape[0]
+    """Shadow accumulators over triangle blocks: returns
+    (opacity_decrement_sum (R,), any_opaque (R,) bool, filter_sub (R,3))."""
+    R = o.shape[0]
     nb, _, B = tri_woop.shape
     assert R % ray_tile == 0, (R, ray_tile)
-    L_pad = light_pack.shape[0]
 
     def full(s):
         return pl.BlockSpec(s, lambda i: tuple(0 for _ in s), memory_space=pltpu.VMEM)
 
-    def ray(s):
-        return pl.BlockSpec(s, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    def smem(s):
+        return pl.BlockSpec(s, lambda i: tuple(0 for _ in s), memory_space=pltpu.SMEM)
 
-    direct, spec = pl.pallas_call(
+    def rayt(s):  # per-ray planes: rays on the LANE axis
+        return pl.BlockSpec(s, lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    dec, opq, fsub = pl.pallas_call(
         functools.partial(
-            _light_shade_kernel,
-            n_lights=n_lights,
+            _occlude_kernel,
             nb=nb,
-            eps_dist=eps_dist,
             backface_culling=backface_culling,
             use_aabb=use_aabb,
             block_has_trans=block_has_trans,
+            sb_sizes=sb_sizes,
         ),
         grid=(R // ray_tile,),
         in_specs=[
-            full((L_pad, 8)),
-            full((16, 128)),
+            rayt((3, ray_tile)),
+            rayt((3, ray_tile)),
+            rayt((1, ray_tile)),
             full((nb, 12, B)),
             full((nb, 1, B)),
             full((nb, 1, B)),
@@ -647,26 +553,332 @@ def pallas_light_shade(
             full((nb, 1, B)),
             full((nb, 1, B)),
             full((nb, 3, B)),
-            full((nb, 8)),
-            ray((ray_tile, 3)),
-            ray((ray_tile, 3)),
-            ray((ray_tile, 3)),
-            ray((ray_tile, 3)),
-            ray((ray_tile, 1)),
-            ray((ray_tile, 1)),
-            ray((ray_tile, 1)),
+            smem(tri_aabb.shape),
+            smem(tri_saabb.shape),
         ],
-        out_specs=[ray((ray_tile, 3)), ray((ray_tile, 3))],
+        out_specs=[
+            rayt((1, ray_tile)),
+            rayt((1, ray_tile)),
+            rayt((3, ray_tile)),
+        ],
         out_shape=[
-            jax.ShapeDtypeStruct((R, 3), jnp.float32),
-            jax.ShapeDtypeStruct((R, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((3, R), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        o.T, d.T, max_distance[None, :], tri_woop, tri_nsq[:, None],
+        tri_valid[:, None], tri_httr[:, None], tri_normal3,
+        tri_ior[:, None], tri_op[:, None], tri_met[:, None], tri_colr[:, None],
+        tri_absn, tri_aabb, tri_saabb,
+    )
+    return dec[0], opq[0] > 0.0, fsub.T
+
+
+# ---------------------------------------------------------------------------
+# Fused direct-lighting kernel: for each ray, loop the lights in-kernel,
+# run the full shadow-occlusion scan (spheres + triangle blocks) and the
+# reference's shading math (ref raytracer_renderer.rs:731-874,
+# light.rs:261-300, raytracer.rs:24-106), accumulating direct+specular —
+# one launch instead of per-light occlusion launches plus XLA shading glue.
+# ---------------------------------------------------------------------------
+
+
+# lights up to this count are unrolled and their shading vectorized on the
+# SUBLANE axis ((L, RT) tiles): one VPU op covers every light, amortizing
+# the ~15 cycle per-op issue overhead that dominates flat (RT,) math
+MAX_UNROLL_LIGHTS = 8
+
+
+def _light_shade_kernel(
+    lights_ref, sph_ref,
+    woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref, met_ref,
+    colr_ref, absn_ref, aabb_ref, saabb_ref,
+    pt_ref, nrm_ref, view_ref, col_ref, shin_ref, valid_r_ref,
+    direct_out, spec_out,
+    *, n_lights, nb, eps_dist, backface_culling, use_aabb, block_has_trans,
+    sb_sizes,
+):
+    ptx, pty, ptz = pt_ref[0], pt_ref[1], pt_ref[2]
+    nx, ny, nz = nrm_ref[0], nrm_ref[1], nrm_ref[2]
+    vwx, vwy, vwz = view_ref[0], view_ref[1], view_ref[2]
+    mcr, mcg, mcb = col_ref[0], col_ref[1], col_ref[2]
+    shin = shin_ref[0]
+    valid = valid_r_ref[0] != 0.0  # (RT,)
+    RT = ptx.shape[0]
+
+    has_spec = shin > 0.0
+    spec_exp = jnp.maximum(shin * 512.0, 1.0)
+    zf = jnp.zeros((RT,), jnp.float32)
+
+    def occlusion_for(sox, soy, soz, ldx, ldy, ldz, maxd, occl_lane):
+        """Shadow scan for one light; whole-light lax.cond skip when no lane
+        in the tile can see the light."""
+
+        def occl(_):
+            dec, opq, fr, fg, fb = _sphere_occl_comp(
+                sph_ref[:], sox, soy, soz, ldx, ldy, ldz, maxd, backface_culling
+            )
+            return _tri_occl_comp(
+                woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref,
+                op_ref, met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
+                sox, soy, soz, ldx, ldy, ldz, maxd, dec, opq, fr, fg, fb,
+                nb=nb, backface_culling=backface_culling, use_aabb=use_aabb,
+                block_has_trans=block_has_trans, sb_sizes=sb_sizes,
+            )
+
+        if use_aabb:
+            return jax.lax.cond(
+                jnp.any(occl_lane), occl, lambda _: (zf, zf, zf, zf, zf), 0
+            )
+        return occl(0)
+
+    if n_lights <= MAX_UNROLL_LIGHTS:
+        # ---- light-batched path: all per-(light, ray) math on (L, RT) ----
+        L = n_lights
+        lv = lights_ref[:]  # (L_pad, 8) in VMEM
+        lpx, lpy, lpz = lv[:L, 0:1], lv[:L, 1:2], lv[:L, 2:3]  # (L, 1)
+        lcr, lcg, lcb = lv[:L, 3:4], lv[:L, 4:5], lv[:L, 5:6]
+        lint = lv[:L, 6:7]
+
+        ltpx, ltpy, ltpz = lpx - ptx[None, :], lpy - pty[None, :], lpz - ptz[None, :]
+        lt2 = ltpx * ltpx + ltpy * ltpy + ltpz * ltpz
+        inv_lt = 1.0 / jnp.sqrt(lt2)
+        ldx, ldy, ldz = ltpx * inv_lt, ltpy * inv_lt, ltpz * inv_lt
+        sox = ptx[None, :] + ldx * eps_dist
+        soy = pty[None, :] + ldy * eps_dist
+        soz = ptz[None, :] + ldz * eps_dist
+        dex, dey, dez = lpx - sox, lpy - soy, lpz - soz
+
+        # PointLight::calculate_contribution_at (light.rs:261-300)
+        light_distance = jnp.sqrt(lt2) + F32_EPSILON
+        cos_in = (
+            ltpx * nx[None, :] + ltpy * ny[None, :] + ltpz * nz[None, :]
+        ) / light_distance
+        angle_pos = cos_in > 0.0
+        # zero max-distance on lanes whose occlusion result is provably
+        # unused: parked/invalid rays AND light-behind-surface lanes (every
+        # downstream term multiplies by ci=0/ccol=0 there) — zeroed lanes
+        # drop out of the per-ray block gates, so back-facing tiles skip the
+        # whole shadow scan for this light
+        occl_lane = valid[None, :] & angle_pos
+        maxd = jnp.where(
+            occl_lane, jnp.sqrt(dex * dex + dey * dey + dez * dez), 0.0
+        )
+
+        outs = [
+            occlusion_for(
+                sox[l], soy[l], soz[l], ldx[l], ldy[l], ldz[l], maxd[l],
+                occl_lane[l],
+            )
+            for l in range(L)
+        ]
+        dec = jnp.stack([o[0] for o in outs])  # (L, RT)
+        opq = jnp.stack([o[1] for o in outs])
+        fr = jnp.stack([o[2] for o in outs])
+        fg = jnp.stack([o[3] for o in outs])
+        fb = jnp.stack([o[4] for o in outs])
+
+        combined_opacity = jnp.clip(1.0 - dec, 0.0, 1.0)
+        can_reach = (opq < 1.0) & valid[None, :]
+        att = 0.95 * (F32_EPSILON + light_distance + light_distance * light_distance)
+        att_sig = (jnp.tanh(att) + 1.0) / 2.0
+        ci = jnp.where(angle_pos, cos_in * lint * jnp.clip(att_sig, 0.0, 1.0), 0.0)
+        ccr = jnp.where(angle_pos, mcr[None, :] * lcr, 0.0)
+        ccg = jnp.where(angle_pos, mcg[None, :] * lcg, 0.0)
+        ccb = jnp.where(angle_pos, mcb[None, :] * lcb, 0.0)
+        # color_filter = 1 - absorption sums; division per channel
+        lcsr = jnp.where(can_reach, ccr / (1.0 - fr), ccr)
+        lcsg = jnp.where(can_reach, ccg / (1.0 - fg), ccg)
+        lcsb = jnp.where(can_reach, ccb / (1.0 - fb), ccb)
+
+        dot_ln = nx[None, :] * ldx + ny[None, :] * ldy + nz[None, :] * ldz
+        diffuse = jnp.maximum(dot_ln, 0.0)
+        srx = ldx - 2.0 * dot_ln * nx[None, :]
+        sry = ldy - 2.0 * dot_ln * ny[None, :]
+        srz = ldz - 2.0 * dot_ln * nz[None, :]
+        inv_sr = 1.0 / jnp.sqrt(srx * srx + sry * sry + srz * srz)
+        spec_dot = jnp.maximum(
+            srx * inv_sr * vwx[None, :]
+            + sry * inv_sr * vwy[None, :]
+            + srz * inv_sr * vwz[None, :],
+            0.0,
+        )
+        spec_f = jnp.where(has_spec[None, :], spec_dot ** spec_exp[None, :], 0.0)
+
+        op_sel = jnp.where(can_reach, combined_opacity, 1.0)
+        lf = diffuse * ci * op_sel
+        sf = ci * op_sel * spec_f
+        m = (diffuse > 0.0) & can_reach & valid[None, :]
+        dr = jnp.sum(jnp.where(m, mcr[None, :] * lcsr * lf, 0.0), axis=0)
+        dg = jnp.sum(jnp.where(m, mcg[None, :] * lcsg * lf, 0.0), axis=0)
+        db = jnp.sum(jnp.where(m, mcb[None, :] * lcsb * lf, 0.0), axis=0)
+        ms = m & has_spec[None, :]
+        spr = jnp.sum(jnp.where(ms, lcr * sf, 0.0), axis=0)
+        spg = jnp.sum(jnp.where(ms, lcg * sf, 0.0), axis=0)
+        spb = jnp.sum(jnp.where(ms, lcb * sf, 0.0), axis=0)
+        direct_out[:] = jnp.stack([dr, dg, db])
+        spec_out[:] = jnp.stack([spr, spg, spb])
+        return
+
+    # ---- many-light path (soft-shadow clouds): fori over lights ----
+    def light_body(l, acc):
+        dr, dg, db, spr, spg, spb = acc
+        # scalar light parameters live in SMEM
+        lpx = lights_ref[l, 0]
+        lpy = lights_ref[l, 1]
+        lpz = lights_ref[l, 2]
+        lcr = lights_ref[l, 3]
+        lcg = lights_ref[l, 4]
+        lcb = lights_ref[l, 5]
+        lint = lights_ref[l, 6]
+
+        ltpx, ltpy, ltpz = lpx - ptx, lpy - pty, lpz - ptz
+        lt2 = ltpx * ltpx + ltpy * ltpy + ltpz * ltpz
+        inv_lt = 1.0 / jnp.sqrt(lt2)
+        ldx, ldy, ldz = ltpx * inv_lt, ltpy * inv_lt, ltpz * inv_lt
+        sox, soy, soz = ptx + ldx * eps_dist, pty + ldy * eps_dist, ptz + ldz * eps_dist
+        dex, dey, dez = lpx - sox, lpy - soy, lpz - soz
+
+        light_distance = jnp.sqrt(lt2) + F32_EPSILON
+        cos_in = (ltpx * nx + ltpy * ny + ltpz * nz) / light_distance
+        angle_pos = cos_in > 0.0
+        occl_lane = valid & angle_pos
+        maxd = jnp.where(
+            occl_lane, jnp.sqrt(dex * dex + dey * dey + dez * dez), 0.0
+        )
+
+        dec, opq, fr, fg, fb = occlusion_for(
+            sox, soy, soz, ldx, ldy, ldz, maxd, occl_lane
+        )
+        combined_opacity = jnp.clip(1.0 - dec, 0.0, 1.0)
+        can_reach = (opq < 1.0) & valid
+
+        att = 0.95 * (F32_EPSILON + light_distance + light_distance * light_distance)
+        att_sig = (jnp.tanh(att) + 1.0) / 2.0
+        ci = jnp.where(angle_pos, cos_in * lint * jnp.clip(att_sig, 0.0, 1.0), 0.0)
+        ccr = jnp.where(angle_pos, mcr * lcr, 0.0)
+        ccg = jnp.where(angle_pos, mcg * lcg, 0.0)
+        ccb = jnp.where(angle_pos, mcb * lcb, 0.0)
+
+        lcsr = jnp.where(can_reach, ccr / (1.0 - fr), ccr)
+        lcsg = jnp.where(can_reach, ccg / (1.0 - fg), ccg)
+        lcsb = jnp.where(can_reach, ccb / (1.0 - fb), ccb)
+
+        dot_ln = nx * ldx + ny * ldy + nz * ldz
+        diffuse = jnp.maximum(dot_ln, 0.0)
+
+        srx = ldx - 2.0 * dot_ln * nx
+        sry = ldy - 2.0 * dot_ln * ny
+        srz = ldz - 2.0 * dot_ln * nz
+        inv_sr = 1.0 / jnp.sqrt(srx * srx + sry * sry + srz * srz)
+        spec_dot = jnp.maximum(
+            srx * inv_sr * vwx + sry * inv_sr * vwy + srz * inv_sr * vwz, 0.0
+        )
+        spec_f = jnp.where(has_spec, spec_dot ** spec_exp, 0.0)
+
+        op_sel = jnp.where(can_reach, combined_opacity, 1.0)
+        lf = diffuse * ci * op_sel
+        sf = ci * op_sel * spec_f
+        lvalid = (diffuse > 0.0) & can_reach
+
+        m = lvalid & valid
+        dr = dr + jnp.where(m, mcr * lcsr * lf, 0.0)
+        dg = dg + jnp.where(m, mcg * lcsg * lf, 0.0)
+        db = db + jnp.where(m, mcb * lcsb * lf, 0.0)
+        ms = m & has_spec
+        spr = spr + jnp.where(ms, lcr * sf, 0.0)
+        spg = spg + jnp.where(ms, lcg * sf, 0.0)
+        spb = spb + jnp.where(ms, lcb * sf, 0.0)
+        return dr, dg, db, spr, spg, spb
+
+    dr, dg, db, spr, spg, spb = jax.lax.fori_loop(
+        0, n_lights, light_body, (zf, zf, zf, zf, zf, zf)
+    )
+    direct_out[:] = jnp.stack([dr, dg, db])
+    spec_out[:] = jnp.stack([spr, spg, spb])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_lights", "eps_dist", "backface_culling", "ray_tile", "use_aabb",
+        "interpret", "block_has_trans", "sb_sizes",
+    ),
+)
+def pallas_light_shade(
+    light_pack, sph_pack,
+    tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
+    tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb, tri_saabb,
+    point, normal, view, color, shininess, valid,
+    n_lights, eps_dist, backface_culling=False, ray_tile=256, use_aabb=True,
+    interpret=False, block_has_trans=(), sb_sizes=(),
+):
+    """Direct + specular lighting for R rays over n_lights point lights
+    (shadow occlusion + shading fused). Returns (direct (R,3), spec (R,3)).
+    `shininess`/`valid` are flat (R,); per-ray vectors are (R,3)."""
+    R = point.shape[0]
+    nb, _, B = tri_woop.shape
+    assert R % ray_tile == 0, (R, ray_tile)
+    L_pad = light_pack.shape[0]
+
+    def full(s):
+        return pl.BlockSpec(s, lambda i: tuple(0 for _ in s), memory_space=pltpu.VMEM)
+
+    def smem(s):
+        return pl.BlockSpec(s, lambda i: tuple(0 for _ in s), memory_space=pltpu.SMEM)
+
+    def rayt(s):  # per-ray planes: rays on the LANE axis
+        return pl.BlockSpec(s, lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    direct, spec = pl.pallas_call(
+        functools.partial(
+            _light_shade_kernel,
+            n_lights=n_lights,
+            nb=nb,
+            eps_dist=eps_dist,
+            backface_culling=backface_culling,
+            use_aabb=use_aabb,
+            block_has_trans=block_has_trans,
+            sb_sizes=sb_sizes,
+        ),
+        grid=(R // ray_tile,),
+        in_specs=[
+            # batched path broadcasts light columns from VMEM; the fori path
+            # reads per-light scalars, which want SMEM
+            full((L_pad, 8)) if n_lights <= MAX_UNROLL_LIGHTS else smem((L_pad, 8)),
+            full(sph_pack.shape),
+            full((nb, 12, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 3, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 3, B)),
+            smem(tri_aabb.shape),
+            smem(tri_saabb.shape),
+            rayt((3, ray_tile)),
+            rayt((3, ray_tile)),
+            rayt((3, ray_tile)),
+            rayt((3, ray_tile)),
+            rayt((1, ray_tile)),
+            rayt((1, ray_tile)),
+        ],
+        out_specs=[rayt((3, ray_tile)), rayt((3, ray_tile))],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, R), jnp.float32),
+            jax.ShapeDtypeStruct((3, R), jnp.float32),
         ],
         interpret=interpret,
     )(
         light_pack, sph_pack,
         tri_woop, tri_nsq[:, None], tri_valid[:, None], tri_httr[:, None],
         tri_normal3, tri_ior[:, None], tri_op[:, None], tri_met[:, None],
-        tri_colr[:, None], tri_absn, tri_aabb,
-        point, normal, view, color, metallic, shininess, valid,
+        tri_colr[:, None], tri_absn, tri_aabb, tri_saabb,
+        point.T, normal.T, view.T, color.T, shininess[None, :], valid[None, :],
     )
-    return direct, spec
+    return direct.T, spec.T

@@ -84,9 +84,8 @@ def calculate_lighting(
                 hit.normal,
                 view_dir,
                 material_color,
-                hit.metallic[:, None],
-                hit.shininess[:, None],
-                valid.astype(jnp.float32)[:, None],
+                hit.shininess,
+                valid.astype(jnp.float32),
             ),
             256,
         )
@@ -104,12 +103,14 @@ def calculate_lighting(
             scene.tri_colr,
             scene.tri_absn,
             scene.tri_aabb,
+            scene.tri_saabb,
             *args,
             n_lights=scene.n_lights,
             eps_dist=float(epsilon_distance),
             backface_culling=cfg.backface_culling,
             interpret=cfg.interpret,
             block_has_trans=scene.block_has_trans,
+            sb_sizes=scene.sb_sizes,
         )
         return ambient + direct[:R], spec[:R]
 

@@ -43,6 +43,9 @@ from .shading import (
 from .vecmath import dot, normalized, reflected, refracted
 
 AIR = jnp.float32(DEFAULT_REFRACTION_INDEX)
+# out-of-range pixel index for dead staging rows: scatter mode="drop"
+# discards them (any value >= the wavefront size works)
+OOB_PIX = 2**30
 
 
 def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, from_refl, active):
@@ -384,14 +387,23 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
     if entries:
         pool, count = _pool_append(pool, count, entries, masks, Q)
 
-    state = dict(
-        pool=pool, count=count, accum=contrib, it=jnp.int32(0),
-        dropped=jnp.int32(0),
-    )
     max_iters = cfg.max_nodes * ratio
     chunk = max(int(cfg.loop_chunk), 1)
 
-    def body_one(s):
+    state = dict(
+        pool=pool, count=count, accum=contrib, it=jnp.int32(0),
+        dropped=jnp.int32(0),
+        # per-chunk contribution staging: iteration i of a chunk writes its
+        # (W,3) contributions contiguously at slot i (a dynamic_update_slice,
+        # ~1 µs) and ONE scatter-add per chunk commits them to the pixel
+        # accumulator — a per-iteration (R,3) scatter measured ~0.15 ms in
+        # the loop, ~100x the staged form. Dead rows carry an out-of-range
+        # pixel index and mode="drop" discards them.
+        stage_pix=jnp.full((chunk * W,), jnp.int32(OOB_PIX)),
+        stage_contrib=jnp.zeros((chunk * W, 3), jnp.float32),
+    )
+
+    def body_one(s, slot):
         pool, count = s["pool"], s["count"]
         start = jnp.maximum(count - W, 0)
         sel_active = start + jnp.arange(W, dtype=jnp.int32) < count
@@ -423,8 +435,17 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
             e["from_refl"], sel_active,
         )
         s = dict(s)
-        s["accum"] = s["accum"].at[e["pix"]].add(
-            jnp.where(sel_active[:, None], contrib_w, 0.0), mode="drop"
+        s["stage_pix"] = jax.lax.dynamic_update_slice_in_dim(
+            s["stage_pix"],
+            jnp.where(sel_active, e["pix"], jnp.int32(OOB_PIX)),
+            slot * W,
+            0,
+        )
+        s["stage_contrib"] = jax.lax.dynamic_update_slice_in_dim(
+            s["stage_contrib"],
+            jnp.where(sel_active[:, None], contrib_w, 0.0),
+            slot * W,
+            0,
         )
         # cap so a full append of 2W candidates stays in bounds; with Q sized
         # for the DFS depth bound this should never engage — count any drop
@@ -447,11 +468,24 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
     def cond(s):
         return (s["it"] < max_iters) & (s["count"] > 0)
 
-    def guarded(st):
-        return jax.lax.cond(st["count"] > 0, body_one, lambda s: s, st)
+    def guarded(st, i):
+        # on-device guard: iterations after convergence are pass-throughs
+        # (cheaper than running the kernels on an empty pool, measured)
+        return jax.lax.cond(
+            st["count"] > 0, lambda s: body_one(s, i), lambda s: s, st
+        )
 
     def chunk_body(s):
-        return jax.lax.fori_loop(0, chunk, lambda i, st: guarded(st), s)
+        it0 = s["it"]
+        s = jax.lax.fori_loop(0, chunk, lambda i, st: guarded(st, i), s)
+        # executed iterations form a prefix of the chunk (once the pool
+        # drains it stays drained); mask the rest so stale staging rows from
+        # a previous chunk are never re-committed
+        n_exec = s["it"] - it0
+        rows = jnp.arange(chunk * W, dtype=jnp.int32)
+        pix = jnp.where(rows < n_exec * W, s["stage_pix"], jnp.int32(OOB_PIX))
+        s["accum"] = s["accum"].at[pix].add(s["stage_contrib"], mode="drop")
+        return s
 
     state = jax.lax.while_loop(cond, chunk_body, state)
     return state["accum"], state["dropped"]

@@ -109,6 +109,9 @@ class DeviceScene:
     tri_colr: jax.Array  # (nb, B) color red channel (shadow fresnel)
     tri_absn: jax.Array  # (nb, 3, B) absorption planes
     tri_aabb: jax.Array  # (nb, 8) per-block AABB: min xyz, max xyz, pad
+    # two-level culling: superblock AABBs unioning `sb_sizes` consecutive
+    # blocks each — one slab test in the kernels skips a whole group
+    tri_saabb: jax.Array  # (n_superblocks, 8)
 
     # per-object materials, global index space (S + nb*B entries)
     mat_color: jax.Array  # (N, 3)
@@ -126,7 +129,8 @@ class DeviceScene:
     light_color: jax.Array  # (L, 3)
     light_intensity: jax.Array  # (L,)
     # kernel-packed forms: lights (L_pad, 8) rows [pos3|color3|intensity|0];
-    # spheres (16, 128) rows [cx,cy,cz,rsq,ior,op,met,colr,httr,absr,absg,absb,valid,0,0,0]
+    # spheres (S_pad, 16): one sphere per SUBLANE row, 16 property lanes
+    # [cx,cy,cz,rsq,ior,op,met,colr,httr,absr,absg,absb,valid,0,0,0]
     light_pack: jax.Array
     sph_pack: jax.Array
 
@@ -138,6 +142,9 @@ class DeviceScene:
     # which blocks contain transmissive materials (static: lets the shadow
     # kernel skip the Fresnel math on all-opaque blocks)
     block_has_trans: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    # superblock partition (static): sizes of consecutive block groups under
+    # each tri_saabb row; sums to the block count
+    sb_sizes: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
     @property
     def sphere_slots(self) -> int:
@@ -146,6 +153,9 @@ class DeviceScene:
     @property
     def triangle_blocks(self) -> int:
         return self.tri_woop.shape[0]
+
+
+SUPERBLOCK = 8  # Morton blocks per superblock AABB (two-level culling)
 
 
 def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1) -> DeviceScene:
@@ -157,17 +167,105 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
 
     S_pad = max(_round_up(S, 8), 8)
     B = min(cfg.triangle_block, max(_round_up(T, 128), 128))
-    T_pad = max(_round_up(T, B), B)
+
+    # ---- triangle slot layout --------------------------------------------
+    # Large primitives (walls/floors) get their OWN blocks: mixing one wall
+    # into a Morton cell blows that block's AABB up to room size and defeats
+    # culling for the whole cell. The rest is Morton-ordered so each block is
+    # spatially tight — the basis for per-ray cluster culling.
+    if T:
+        cent = np.stack([t.get_center() for t in triangles]).astype(np.float32)
+        v1s = np.stack([t.vertex1 for t in triangles]).astype(np.float64)
+        v2s = np.stack([t.vertex2 for t in triangles]).astype(np.float64)
+        v3s = np.stack([t.vertex3 for t in triangles]).astype(np.float64)
+        tri_lo = np.minimum(np.minimum(v1s, v2s), v3s).astype(np.float32)
+        tri_hi = np.maximum(np.maximum(v1s, v2s), v3s).astype(np.float32)
+        diag = np.linalg.norm(tri_hi - tri_lo, axis=1)
+        scene_diag = float(np.linalg.norm(tri_hi.max(0) - tri_lo.min(0))) or 1.0
+        big = diag > 0.1 * scene_diag
+        big_idx = np.where(big)[0].astype(np.int64)
+        small_idx = np.where(~big)[0]
+        small_order = (
+            small_idx[morton_order(cent[small_idx])] if len(small_idx) else small_idx
+        ).astype(np.int64)
+        nbig_pad = _round_up(len(big_idx), B) if len(big_idx) else 0
+        slots_needed = nbig_pad + len(small_order)
+    else:
+        big_idx = small_order = np.zeros((0,), np.int64)
+        nbig_pad = slots_needed = 0
+
+    T_pad = max(_round_up(max(slots_needed, 1), B), B)
     nb = _round_up(T_pad // B, min_tri_blocks)
     T_pad = nb * B
     N = S_pad + T_pad
 
+    slot_tri = np.full((T_pad,), -1, np.int64)  # -1 = padding slot
+    slot_tri[: len(big_idx)] = big_idx
+    slot_tri[nbig_pad : nbig_pad + len(small_order)] = small_order
+
+    # ---- superblock partition over blocks --------------------------------
+    # big-primitive blocks and trailing empty blocks sit in singleton groups
+    # (a room-sized or inverted AABB must not poison a Morton superblock);
+    # Morton blocks group in runs of SUPERBLOCK, which stay spatially tight
+    # because consecutive Morton blocks are neighbours in space.
+    nb_big = nbig_pad // B
+    nb_small = -(-len(small_order) // B) if len(small_order) else 0
+    sb_sizes = [1] * nb_big
+    for s in range(nb_big, nb_big + nb_small, SUPERBLOCK):
+        sb_sizes.append(min(SUPERBLOCK, nb_big + nb_small - s))
+    sb_sizes += [1] * (nb - nb_big - nb_small)
+
+    # ---- per-block AABBs (real triangles only) ----------------------------
+    blocks = slot_tri.reshape(nb, B)
+    block_lo = np.full((nb, 3), 1e8, np.float32)  # empty: inverted, never hit
+    block_hi = np.full((nb, 3), -1e8, np.float32)
+    for b in range(nb):
+        sel = blocks[b][blocks[b] >= 0]
+        if len(sel):
+            block_lo[b] = tri_lo[sel].min(axis=0)
+            block_hi[b] = tri_hi[sel].max(axis=0)
+
+    # ---- front-to-back ordering at GROUP granularity ----------------------
+    # The cast kernels walk blocks in storage order carrying a running-min t;
+    # near-camera blocks first shrink the per-ray t-limit early. Sorting
+    # whole groups (and blocks within a group) keeps superblocks tight while
+    # approximating a global front-to-back walk. Order never changes results
+    # (the running min is exact; shadow accumulation is order-free).
+    focus = np.asarray(cfg.camera.render_ray_focus, np.float32)
+    bdist = np.where(
+        (block_lo <= block_hi).all(axis=1),
+        np.linalg.norm(np.clip(focus, block_lo, block_hi) - focus, axis=1),
+        np.inf,
+    )
+    groups, s = [], 0
+    for n in sb_sizes:
+        groups.append(list(range(s, s + n)))
+        s += n
+    groups.sort(key=lambda g: min(bdist[b] for b in g))
+    order_blocks, sb_sizes = [], []
+    for g in groups:
+        order_blocks.extend(sorted(g, key=lambda b: bdist[b]))
+        sb_sizes.append(len(g))
+    slot_tri = blocks[order_blocks].reshape(-1)
+    block_lo, block_hi = block_lo[order_blocks], block_hi[order_blocks]
+
+    aabb = np.zeros((nb, 8), np.float32)
+    aabb[:, 0:3] = block_lo
+    aabb[:, 3:6] = block_hi
+    nsb = len(sb_sizes)
+    saabb = np.zeros((nsb, 8), np.float32)
+    s = 0
+    for gi, n in enumerate(sb_sizes):
+        saabb[gi, 0:3] = block_lo[s : s + n].min(axis=0)
+        saabb[gi, 3:6] = block_hi[s : s + n].max(axis=0)
+        s += n
+
     sph_center = np.zeros((S_pad, 3), np.float32)
     sph_r_sq = np.ones((S_pad,), np.float32)
     sph_valid = np.zeros((S_pad,), bool)
-    for i, s in enumerate(spheres):
-        sph_center[i] = s.center
-        sph_r_sq[i] = s.r_sq
+    for i, sph in enumerate(spheres):
+        sph_center[i] = sph.center
+        sph_r_sq[i] = sph.r_sq
         sph_valid[i] = True
     # park padded spheres far away so even unmasked math stays finite
     sph_center[S:] = 1e8
@@ -176,71 +274,22 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     nsq = np.ones((T_pad,), np.float32)
     tnormal = np.zeros((T_pad, 3), np.float32)
     tvalid = np.zeros((T_pad,), bool)
-    # padded triangles: identity transform far away -> t large, masked anyway
+    # padded slots: identity transform far away -> t large, masked anyway
     woop4[:, 0, 0] = 1.0
     woop4[:, 1, 1] = 1.0
     woop4[:, 2, 2] = 1.0
     woop4[:, 3, :] = (0.0, 0.0, 1e8)
 
-    aabb = np.zeros((nb, 8), np.float32)
-    aabb[:, 0:3] = 1e8  # empty blocks: inverted (never hit) AABB
-    aabb[:, 3:6] = -1e8
+    real_slots = np.where(slot_tri >= 0)[0]
+    tri_sel = slot_tri[real_slots]
     if T:
-        # Sort triangles so each block is spatially tight: large triangles
-        # (walls/floors) first in their own blocks — mixing them into Morton
-        # cells would blow up those blocks' AABBs and defeat the cull — then
-        # the rest in Morton order.
-        cent = np.stack([t.get_center() for t in triangles]).astype(np.float32)
-        v1s = np.stack([t.vertex1 for t in triangles])
-        v2s = np.stack([t.vertex2 for t in triangles])
-        v3s = np.stack([t.vertex3 for t in triangles])
-        tri_lo = np.minimum(np.minimum(v1s, v2s), v3s)
-        tri_hi = np.maximum(np.maximum(v1s, v2s), v3s)
-        diag = np.linalg.norm(tri_hi - tri_lo, axis=1)
-        scene_diag = float(np.linalg.norm(tri_hi.max(0) - tri_lo.min(0))) or 1.0
-        big = diag > 0.1 * scene_diag
-        small_idx = np.where(~big)[0]
-        small_order = small_idx[morton_order(cent[small_idx])] if len(small_idx) else small_idx
-        order = np.concatenate([np.where(big)[0], small_order]).astype(np.int64)
-
-        # Front-to-back static block ordering: the cast kernels walk blocks
-        # in storage order carrying a running-min t; processing near-camera
-        # blocks first shrinks the per-tile t_limit early, so the AABB test
-        # skips far blocks on primary tiles. Order is irrelevant to shadow
-        # accumulation, and nearest-hit results are order-independent (the
-        # running min is exact) — this is a data-layout change only.
-        n_full = T // B  # the partial (pad-containing) block stays last
-        if n_full > 1:
-            focus = np.asarray(cfg.camera.render_ray_focus, np.float32)
-            dists = np.empty(n_full)
-            blocks = order[: n_full * B].reshape(n_full, B)
-            for blk in range(n_full):
-                lo = tri_lo[blocks[blk]].min(axis=0)
-                hi = tri_hi[blocks[blk]].max(axis=0)
-                dists[blk] = np.linalg.norm(np.clip(focus, lo, hi) - focus)
-            perm = np.argsort(dists, kind="stable")
-            order = np.concatenate(
-                [blocks[perm].reshape(-1), order[n_full * B :]]
-            )
-
-        triangles = [triangles[i] for i in order]
-
-        v1 = np.stack([t.vertex1 for t in triangles]).astype(np.float64)
-        v2 = np.stack([t.vertex2 for t in triangles]).astype(np.float64)
-        v3 = np.stack([t.vertex3 for t in triangles]).astype(np.float64)
-        w4, n2, ok = compute_woop_transforms(v1, v2, v3)
-        woop4[:T][ok] = w4[ok]
-        nsq[:T][ok] = n2[ok]
-        tnormal[:T] = np.stack([t.normal for t in triangles]).astype(np.float32)
-        tvalid[:T] = ok
-        allv = np.stack([v1, v2, v3], axis=1).astype(np.float32)  # (T,3,3)
-        for blk in range(nb):
-            lo_i, hi_i = blk * B, min((blk + 1) * B, T)
-            if hi_i <= lo_i:
-                continue
-            vs = allv[lo_i:hi_i].reshape(-1, 3)
-            aabb[blk, 0:3] = vs.min(axis=0)
-            aabb[blk, 3:6] = vs.max(axis=0)
+        w4, n2, ok = compute_woop_transforms(v1s[tri_sel], v2s[tri_sel], v3s[tri_sel])
+        ok_slots = real_slots[ok]
+        woop4[ok_slots] = w4[ok]
+        nsq[ok_slots] = n2[ok]
+        norms = np.stack([t.normal for t in triangles]).astype(np.float32)
+        tnormal[real_slots] = norms[tri_sel]
+        tvalid[real_slots] = ok
 
     mat_color = np.zeros((N, 3), np.float32)
     mat_metallic = np.zeros((N,), np.float32)
@@ -262,11 +311,12 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         mat_boost[idx] = m.transmission.boost
         mat_absorption[idx] = m.absorption()
 
-    for i, s in enumerate(spheres):
-        fill_mat(i, s.material)
-    for i, t in enumerate(triangles):
-        fill_mat(S_pad + i, t.material)
-        obj_normal[S_pad + i] = t.normal
+    for i, sph in enumerate(spheres):
+        fill_mat(i, sph.material)
+    for slot, ti in zip(real_slots, tri_sel):
+        t = triangles[ti]
+        fill_mat(S_pad + slot, t.material)
+        obj_normal[S_pad + slot] = t.normal
 
     def planar(x):  # (T_pad, ...) -> block-planar (nb, ..., B)
         if x.ndim == 1:
@@ -296,19 +346,19 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     light_pack[:L_real, 3:6] = light_color[:L_real]
     light_pack[:L_real, 6] = light_intensity[:L_real]
 
-    sph_pack = np.zeros((16, 128), np.float32)
-    SP = min(S_pad, 128)
-    sph_pack[0:3, :SP] = sph_center[:SP].T
-    sph_pack[3, :SP] = sph_r_sq[:SP]
-    sph_pack[4, :SP] = mat_ior[:SP]
-    sph_pack[5, :SP] = mat_opacity[:SP]
-    sph_pack[6, :SP] = mat_metallic[:SP]
-    sph_pack[7, :SP] = mat_color[:SP, 0]
-    sph_pack[8, :SP] = mat_has_trans[:SP].astype(np.float32)
-    sph_pack[9:12, :SP] = mat_absorption[:SP].T
-    sph_pack[12, :SP] = sph_valid[:SP].astype(np.float32)
-    # park padded sphere centers far away (slot 12 marks validity)
-    sph_pack[0:3, SP:] = 1e8
+    # sphere pack: SPHERES ON SUBLANES, 16 property lanes — a scene with S
+    # spheres then costs ceil(S/8) sublane rows per VPU op instead of a full
+    # 128-lane plane (9 semesterbild spheres: 2 rows, 16x less VPU work)
+    sph_pack = np.zeros((S_pad, 16), np.float32)
+    sph_pack[:, 0:3] = sph_center
+    sph_pack[:, 3] = sph_r_sq
+    sph_pack[:, 4] = mat_ior[:S_pad]  # 1.0 on padding: keeps fresnel finite
+    sph_pack[:, 5] = mat_opacity[:S_pad]
+    sph_pack[:, 6] = mat_metallic[:S_pad]
+    sph_pack[:, 7] = mat_color[:S_pad, 0]
+    sph_pack[:, 8] = mat_has_trans[:S_pad].astype(np.float32)
+    sph_pack[:, 9:12] = mat_absorption[:S_pad]
+    sph_pack[:, 12] = sph_valid.astype(np.float32)
 
     return DeviceScene(
         sph_center=jnp.asarray(sph_center),
@@ -327,6 +377,7 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         tri_colr=jnp.asarray(planar(mat_color[tri_slice, 0])),
         tri_absn=jnp.asarray(planar(mat_absorption[tri_slice])),
         tri_aabb=jnp.asarray(aabb),
+        tri_saabb=jnp.asarray(saabb),
         mat_color=jnp.asarray(mat_color),
         mat_metallic=jnp.asarray(mat_metallic),
         mat_shininess=jnp.asarray(mat_shininess),
@@ -349,4 +400,5 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
             bool(mat_has_trans[S_pad + b * B : S_pad + (b + 1) * B].any())
             for b in range(nb)
         ),
+        sb_sizes=tuple(sb_sizes),
     )

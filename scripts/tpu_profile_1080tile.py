@@ -7,7 +7,7 @@ import numpy as np
 import dataclasses
 from hslu_i.ba_raytracing.f2501_raytracer_tpu import RenderConfig, build_device_scene
 from hslu_i.ba_raytracing.f2501_raytracer_tpu.models import build
-from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import pixel_scene_coords
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import pixel_scene_coords, tile_major_order
 from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays
 from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
 
@@ -19,7 +19,9 @@ scene = build("semesterbild", cfg)
 scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
 ds = build_device_scene(scene, cfg)
 px, py = np.meshgrid(np.arange(W0), np.arange(H0))
-coords = pixel_scene_coords(cfg, px.reshape(-1), py.reshape(-1))
+order = tile_major_order(W0, H0)
+px, py = px.reshape(-1)[order], py.reshape(-1)[order]
+coords = pixel_scene_coords(cfg, px, py)
 dirs = (coords - np.asarray(cfg.camera.render_ray_focus, np.float32)).astype(np.float32)
 R = 131072
 sl = slice(4*R, 5*R)  # a middle tile
