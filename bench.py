@@ -93,6 +93,9 @@ def main():
         compaction_ratio=int(os.environ.get("BENCH_COMPACT", 32)),
         loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 128)),
         triangle_block=int(os.environ.get("BENCH_TRI_BLOCK", 512)),
+        # multi-chip: shard the frame's tile axis over N devices (needs N
+        # attached chips; validated on the 8-way virtual CPU mesh in tests)
+        devices=int(os.environ.get("BENCH_DEVICES", 1)),
         **CONFIGS[config_name],
     )
 
@@ -125,13 +128,32 @@ def main():
     if pad:
         coords = np.concatenate([coords, np.zeros((pad, 3), np.float32)])
         dirs = np.concatenate([dirs, np.tile(np.float32([0, 0, 1]), (pad, 1))])
+    if cfg.devices > 1:  # pad the tile axis so every device gets equal tiles
+        n_pad = (n_tiles + cfg.devices - 1) // cfg.devices * cfg.devices
+        if n_pad != n_tiles:
+            coords = np.concatenate(
+                [coords, np.zeros(((n_pad - n_tiles) * tile, 3), np.float32)]
+            )
+            dirs = np.concatenate(
+                [dirs, np.tile(np.float32([0, 0, 1]), ((n_pad - n_tiles) * tile, 1))]
+            )
+            n_tiles = n_pad
     o_tiles = jnp.asarray(coords.reshape(n_tiles, tile, 3))
     d_tiles = jnp.asarray(dirs.reshape(n_tiles, tile, 3))
+    if cfg.devices > 1:
+        from hslu_i.ba_raytracing.f2501_raytracer_tpu.parallel.mesh import (
+            make_mesh, trace_tiles_sharded,
+        )
+
+        mesh = make_mesh(cfg.devices)
 
     def frame():
         # whole frame as ONE program: per-launch overhead is high on
         # remote-attached TPUs
-        outs = trace_rays_tiled(dscene, cfg, o_tiles, d_tiles)
+        if cfg.devices > 1:
+            outs = trace_tiles_sharded(dscene, cfg, o_tiles, d_tiles, mesh)
+        else:
+            outs = trace_rays_tiled(dscene, cfg, o_tiles, d_tiles)
         jax.block_until_ready(outs)
         return outs
 

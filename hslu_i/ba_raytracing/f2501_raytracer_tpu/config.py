@@ -161,6 +161,10 @@ class RenderConfig:
     # soft-shadow clouds x hq mesh) can run many minutes in one program,
     # which the remote-relay worker watchdog kills — cap them.
     tiles_per_program: int = 0
+    # devices > 1 shards the frame's tile axis over a jax.sharding.Mesh:
+    # each chip traces its local tiles (scene replicated, rays data-parallel,
+    # SURVEY.md §2.3); outputs stay device-sharded for host assembly
+    devices: int = 1
     interpret: bool = False  # pallas interpreter mode (CPU tests)
     # None = auto (pallas on TPU backends, XLA elsewhere); the renderer and
     # bench resolve it via resolve_use_pallas()

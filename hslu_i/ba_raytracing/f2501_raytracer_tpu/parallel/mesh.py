@@ -65,6 +65,42 @@ def render_image_sharded(scene: DeviceScene, cfg: RenderConfig, origins, directi
     return jax.jit(mapped)(scene, origins, directions)
 
 
+def trace_tiles_sharded(scene: DeviceScene, cfg: RenderConfig, o_tiles, d_tiles, mesh: Mesh):
+    """Shard a fused whole-frame render's TILE axis across the mesh: each
+    device `lax.map`s its local (n_tiles/ndev, T, 3) tiles through the full
+    wavefront tracer — the compacted-pool path engages per tile exactly as on
+    one device (trace_rays, ops/trace.py) — and outputs stay device-sharded
+    for host assembly (the renderer's producer side). This is the renderer's
+    multi-chip mode (`cfg.devices`): scene replicated, rays data-parallel
+    (SURVEY.md §2.3); no collective is needed because the host consumes the
+    frame."""
+    axis = mesh.axis_names[0]
+    assert o_tiles.shape[0] % mesh.devices.size == 0, (
+        o_tiles.shape, mesh.devices.size,
+    )
+
+    def local(scene_rep, o_sh, d_sh):
+        def per_tile(od):
+            o, d = od
+            return trace_rays.__wrapped__(scene_rep, cfg, o, d)
+
+        return jax.lax.map(per_tile, (o_sh, d_sh))
+
+    shd = NamedSharding(mesh, P(axis))
+    mapped = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        # loop carries mix unvarying inits with tile-varying bodies; there is
+        # no cross-device communication in this map, so vma checking is moot
+        check_vma=False,
+    )
+    return jax.jit(mapped)(
+        shard_scene(scene, mesh),
+        jax.device_put(o_tiles, shd),
+        jax.device_put(d_tiles, shd),
+    )
+
+
 def trace_rays_sharded(scene: DeviceScene, cfg: RenderConfig, origins, directions, mesh: Mesh):
     """Data-parallel trace with sharded outputs (no gather): the natural mode
     when the host assembles tiles."""

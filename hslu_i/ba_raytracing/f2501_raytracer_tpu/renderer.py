@@ -117,9 +117,41 @@ class RaytracerRenderer:
                 d_all[ti, : n * aa] = np.broadcast_to(
                     dirs[:, None, :], (n, aa, 3)
                 ).reshape(-1, 3)
-            group = cfg.tiles_per_program or n_tiles
-            ws = bool(cfg.render_timing_debug)  # also surfaces pool drops
-            if group >= n_tiles:
+            # multi-chip mode: shard the tile axis over a device mesh
+            # (scene replicated, rays data-parallel — SURVEY.md §2.3)
+            use_mesh = cfg.devices > 1
+            if use_mesh:
+                from .parallel.mesh import make_mesh, trace_tiles_sharded
+
+                mesh = make_mesh(cfg.devices)
+                ndev = mesh.devices.size
+            align = cfg.devices if use_mesh else 1
+            n_avail = (n_tiles + align - 1) // align * align
+            group = cfg.tiles_per_program or n_avail
+            if use_mesh:  # each launch's tile count must divide the mesh
+                group = max(group // ndev * ndev, ndev)
+            # pad the tile count so every launch reuses one executable (and,
+            # under a mesh, every device gets the same tile count)
+            n_pad = (
+                n_avail if group >= n_avail
+                else (n_tiles + group - 1) // group * group
+            )
+            if n_pad != n_tiles:
+                o_all = np.concatenate(
+                    [o_all, np.zeros((n_pad - n_tiles,) + o_all.shape[1:], np.float32)]
+                )
+                d_all = np.concatenate(
+                    [d_all, np.tile(np.float32([0, 0, 1]), (n_pad - n_tiles, o_all.shape[1], 1))]
+                )
+            ws = bool(cfg.render_timing_debug) and not use_mesh
+            if group >= n_pad and use_mesh:
+                c, v = trace_tiles_sharded(
+                    dscene, cfg, jax.numpy.asarray(o_all), jax.numpy.asarray(d_all),
+                    mesh,
+                )
+                color = np.asarray(c)[:n_tiles]
+                valid = np.asarray(v)[:n_tiles]
+            elif group >= n_pad:
                 out = trace_rays_tiled(
                     dscene, cfg, jax.numpy.asarray(o_all), jax.numpy.asarray(d_all),
                     with_stats=ws,
@@ -136,24 +168,15 @@ class RaytracerRenderer:
                     color, valid = out
                 color, valid = np.asarray(color), np.asarray(valid)
             else:
-                # bound single-program duration: pad the tile count to a
-                # multiple of `group` so every launch reuses one executable
-                n_pad = (n_tiles + group - 1) // group * group
-                if n_pad != n_tiles:
-                    o_all = np.concatenate(
-                        [o_all, np.zeros((n_pad - n_tiles,) + o_all.shape[1:], np.float32)]
-                    )
-                    d_all = np.concatenate(
-                        [d_all, np.tile(np.float32([0, 0, 1]), (n_pad - n_tiles, o_all.shape[1], 1))]
-                    )
+                # bound single-program duration: cap each launch at `group`
                 cs, vs = [], []
                 for gs in range(0, n_pad, group):
-                    c, v = trace_rays_tiled(
-                        dscene,
-                        cfg,
-                        jax.numpy.asarray(o_all[gs : gs + group]),
-                        jax.numpy.asarray(d_all[gs : gs + group]),
-                    )
+                    oj = jax.numpy.asarray(o_all[gs : gs + group])
+                    dj = jax.numpy.asarray(d_all[gs : gs + group])
+                    if use_mesh:
+                        c, v = trace_tiles_sharded(dscene, cfg, oj, dj, mesh)
+                    else:
+                        c, v = trace_rays_tiled(dscene, cfg, oj, dj)
                     cs.append(np.asarray(c))
                     vs.append(np.asarray(v))
                 color = np.concatenate(cs)[:n_tiles]
