@@ -136,6 +136,16 @@ class RenderConfig:
     # every sample uses direction 0; the simd_render build cycles all 8
     # (ops/camera.py). 1 reproduces the golden image's build.
     aa_packet_lanes: int = 1
+    # Full simd_render packet semantics (ref raytracer_renderer.rs:1190-1357
+    # dispatch): groups of 8 consecutive AA rays form one packet whose
+    # reflection/refraction SPAWN decisions are packet-wide `.any()`s
+    # (rs:217, rs:232, rs:584-594, rs:306-308), whose depth budgets are one
+    # scalar per packet, and whose adaptive refraction step/divisor derive
+    # from the packet-horizontal-max opacity (rs:458-491). Per-lane
+    # contributions stay masked exactly as the reference's final blends
+    # (rs:712-729, rs:505-522). Requires anti_aliasing (packets = the 8 AA
+    # lanes of one pixel) and disables resort_secondary.
+    packet_mode: bool = False
 
     # engine knobs (TPU-side; no reference equivalent)
     tile_rays: int = 8192  # rays per traced batch

@@ -40,9 +40,12 @@ from .shading import (
     calculate_lighting,
     compute_fresnel,
 )
-from .vecmath import dot, normalized, reflected, refracted
+from .vecmath import F32_EPSILON, dot, normalized, reflected, refracted
 
 AIR = jnp.float32(DEFAULT_REFRACTION_INDEX)
+# |v|^2 threshold for `abs_diff_eq_default(zero)` on a direction vector
+# (ref vector.rs componentwise F32_EPSILON check, used at rs:589-594)
+F32_EPS_SQ = float(F32_EPSILON) ** 2
 # out-of-range pixel index for dead staging rows: scatter mode="drop"
 # discards them (any value >= the wavefront size works)
 OOB_PIX = 2**30
@@ -82,6 +85,18 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
 
     cos_theta = dot(d, hit.normal)
 
+    # ---- simd_render packet reductions (cfg.packet_mode) ----
+    # the reference's SIMD build shares spawn decisions and depth budgets
+    # across the 8 lanes of an AA packet (see config.py packet_mode); lanes
+    # were laid out so packet p occupies rays [8p, 8p+8)
+    PK = 8
+
+    def pk_any(m):  # packet-wide .any() broadcast back to lanes
+        return jnp.repeat(jnp.any(m.reshape(-1, PK), axis=1), PK)
+
+    def pk_max(x):  # simd_horizontal_max broadcast back to lanes
+        return jnp.repeat(jnp.max(x.reshape(-1, PK), axis=1), PK)
+
     # ---- reflection child (raytracer_renderer.rs:526-729) ----
     refl_push = None
     if cfg.reflections:
@@ -102,9 +117,23 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
             budget < 0, cfg.reflection_max_depth, jnp.maximum(budget - 1, 0)
         ).astype(jnp.int32)
         refl_w = w * reflectance
-        mask = hval & reflective & (child_budget > 0)
-        if cfg.weight_cutoff > 0.0:
-            mask &= jnp.max(refl_w, axis=1) > cfg.weight_cutoff
+        if cfg.packet_mode:
+            # packet-wide recursion: trace iff any lane is reflective and no
+            # lane's reflection direction degenerated (rs:584-594, rs:708-710
+            # `if (reflection_is_none.none())`); non-reflective lanes ride
+            # along with zero weight — the reference's final per-lane blend
+            # (rs:712-729)
+            refl_raw = reflected(d, hit.normal)
+            degen = jnp.sum(refl_raw * refl_raw, axis=1) <= F32_EPS_SQ
+            lane_ok = hval & reflective & ~degen
+            mask = pk_any(hval & reflective) & ~pk_any(degen) & (child_budget > 0)
+            refl_w = jnp.where(lane_ok[:, None], refl_w, 0.0)
+            if cfg.weight_cutoff > 0.0:
+                mask &= pk_max(jnp.max(refl_w, axis=1)) > cfg.weight_cutoff
+        else:
+            mask = hval & reflective & (child_budget > 0)
+            if cfg.weight_cutoff > 0.0:
+                mask &= jnp.max(refl_w, axis=1) > cfg.weight_cutoff
         refl_push = dict(
             o=hit.point + refl_dir * eps_dist,
             d=refl_dir,
@@ -130,6 +159,10 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
         refr_dir = jnp.where(k_pos[:, None], normalized(refr_raw), 0.0)
 
         op = jnp.where(hit.has_trans, hit.opacity, 0.0)
+        if cfg.packet_mode:
+            # the SIMD build derives the adaptive depth step/divisor from the
+            # packet-horizontal-max opacity (rs:458-491 simd_horizontal_max)
+            op = pk_max(op)
         step = jnp.where(op < 0.5, 2, 1)
         divisor = jnp.where(op <= 0.3, 3, jnp.where(op < 0.5, 2, 1))
         child_budget = jnp.where(
@@ -139,9 +172,21 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
         ).astype(jnp.int32)
         boost = jnp.where(hit.has_trans, hit.boost, 0.0) + 1.0
         refr_w = w * transmittance * boost[:, None]
-        mask = hval & hit.has_trans & (child_budget > 0) & k_pos
-        if cfg.weight_cutoff > 0.0:
-            mask &= jnp.max(refr_w, axis=1) > cfg.weight_cutoff
+        if cfg.packet_mode:
+            # packet-wide recursion iff any lane hit a refractive material
+            # (rs:306-308 early return on .none()); per-lane contributions
+            # keep the reference's final mask (rs:505-522) — TIR lanes
+            # (k_pos false) carry a zero direction and can never produce a
+            # valid child hit, matching `refraction_valid` semantics
+            lane_ok = hval & hit.has_trans & k_pos
+            mask = pk_any(hval & hit.has_trans) & (child_budget > 0)
+            refr_w = jnp.where(lane_ok[:, None], refr_w, 0.0)
+            if cfg.weight_cutoff > 0.0:
+                mask &= pk_max(jnp.max(refr_w, axis=1)) > cfg.weight_cutoff
+        else:
+            mask = hval & hit.has_trans & (child_budget > 0) & k_pos
+            if cfg.weight_cutoff > 0.0:
+                mask &= jnp.max(refr_w, axis=1) > cfg.weight_cutoff
         refr_push = dict(
             o=hit.point + refr_dir * eps_dist,
             d=refr_dir,
@@ -237,6 +282,12 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions,
     divergence worth investigating).
     """
     R = origins.shape[0]
+    if cfg.packet_mode:
+        # packets are the 8 consecutive AA lanes of one pixel; the serviced
+        # pool slices/pushes preserve packet contiguity (masks are
+        # packet-uniform), but a Morton resort would scatter them
+        assert R % 8 == 0, "packet_mode needs 8-lane-aligned wavefronts"
+        assert not cfg.resort_secondary, "packet_mode forbids resort_secondary"
     eps_dist = float(cfg.camera.epsilon_distance)
     d0 = normalized(directions)
 

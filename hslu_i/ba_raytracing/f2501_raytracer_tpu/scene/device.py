@@ -169,10 +169,16 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     B = min(cfg.triangle_block, max(_round_up(T, 128), 128))
 
     # ---- triangle slot layout --------------------------------------------
-    # Large primitives (walls/floors) get their OWN blocks: mixing one wall
-    # into a Morton cell blows that block's AABB up to room size and defeats
-    # culling for the whole cell. The rest is Morton-ordered so each block is
-    # spatially tight — the basis for per-ray cluster culling.
+    # Large primitives (walls/floors) leave the Morton blocks entirely:
+    # mixing one wall into a Morton cell blows that block's AABB up to room
+    # size and defeats culling for the whole cell — and a room-sized AABB is
+    # never culled anyway, so a handful of walls would otherwise pin a full
+    # B-lane block of pair math on every ray. They go into a SUBLANE pack
+    # instead (trb_pack, like sph_pack): up to BIGTRI_CAP triangles on the
+    # sublane axis with their 25 property planes on lanes, so S big
+    # primitives cost ceil(S/8) sublane rows per VPU op instead of B lanes.
+    # The rest is Morton-ordered so each block is spatially tight — the
+    # basis for per-ray cluster culling.
     if T:
         cent = np.stack([t.get_center() for t in triangles]).astype(np.float32)
         v1s = np.stack([t.vertex1 for t in triangles]).astype(np.float64)
@@ -184,36 +190,37 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         scene_diag = float(np.linalg.norm(tri_hi.max(0) - tri_lo.min(0))) or 1.0
         big = diag > 0.1 * scene_diag
         big_idx = np.where(big)[0].astype(np.int64)
+        if len(big_idx) > BIGTRI_CAP:  # overflow back to the Morton blocks
+            by_diag = big_idx[np.argsort(-diag[big_idx], kind="stable")]
+            big_idx = np.sort(by_diag[:BIGTRI_CAP])
+            big = np.zeros_like(big)
+            big[big_idx] = True
         small_idx = np.where(~big)[0]
         small_order = (
             small_idx[morton_order(cent[small_idx])] if len(small_idx) else small_idx
         ).astype(np.int64)
-        nbig_pad = _round_up(len(big_idx), B) if len(big_idx) else 0
-        slots_needed = nbig_pad + len(small_order)
     else:
         big_idx = small_order = np.zeros((0,), np.int64)
-        nbig_pad = slots_needed = 0
 
-    T_pad = max(_round_up(max(slots_needed, 1), B), B)
+    P_pad = max(_round_up(len(big_idx), 8), 8)
+    T_pad = max(_round_up(max(len(small_order), 1), B), B)
     nb = _round_up(T_pad // B, min_tri_blocks)
     T_pad = nb * B
-    N = S_pad + T_pad
+    N = S_pad + P_pad + T_pad
 
     slot_tri = np.full((T_pad,), -1, np.int64)  # -1 = padding slot
-    slot_tri[: len(big_idx)] = big_idx
-    slot_tri[nbig_pad : nbig_pad + len(small_order)] = small_order
+    slot_tri[: len(small_order)] = small_order
 
-    # ---- superblock partition over blocks --------------------------------
-    # big-primitive blocks and trailing empty blocks sit in singleton groups
-    # (a room-sized or inverted AABB must not poison a Morton superblock);
-    # Morton blocks group in runs of SUPERBLOCK, which stay spatially tight
-    # because consecutive Morton blocks are neighbours in space.
-    nb_big = nbig_pad // B
+    # ---- superblock partition over Morton blocks --------------------------
+    # trailing empty blocks sit in singleton groups (an inverted AABB must
+    # not poison a Morton superblock); Morton blocks group in runs of
+    # SUPERBLOCK, which stay spatially tight because consecutive Morton
+    # blocks are neighbours in space.
     nb_small = -(-len(small_order) // B) if len(small_order) else 0
-    sb_sizes = [1] * nb_big
-    for s in range(nb_big, nb_big + nb_small, SUPERBLOCK):
-        sb_sizes.append(min(SUPERBLOCK, nb_big + nb_small - s))
-    sb_sizes += [1] * (nb - nb_big - nb_small)
+    sb_sizes = []
+    for s in range(0, nb_small, SUPERBLOCK):
+        sb_sizes.append(min(SUPERBLOCK, nb_small - s))
+    sb_sizes += [1] * (nb - nb_small)
 
     # ---- per-block AABBs (real triangles only) ----------------------------
     blocks = slot_tri.reshape(nb, B)

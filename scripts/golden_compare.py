@@ -56,6 +56,10 @@ def main():
         # heavy config: cap tiles per launched program so no single on-device
         # program outlives the relay worker watchdog (~4 min; PERF.md)
         tiles_per_program=int(os.environ.get("GOLD_TPP", 4)),
+        # GOLD_PACKET=1 -> the reference's simd_render build semantics:
+        # 8-lane AA direction cycling + packet-shared spawn/budget decisions
+        aa_packet_lanes=8 if os.environ.get("GOLD_PACKET") == "1" else 1,
+        packet_mode=os.environ.get("GOLD_PACKET") == "1",
     )
     print("config:", cfg.feature_string(), "| aa rays:", cfg.total_aa_rays,
           "| lights x", cfg.point_light_multiplicator, flush=True)
