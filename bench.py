@@ -155,6 +155,10 @@ def main():
         else:
             outs = trace_rays_tiled(dscene, cfg, o_tiles, d_tiles)
         jax.block_until_ready(outs)
+        # the remote relay's block_until_ready can return before the work
+        # completes (observed after fresh compiles AND on some sessions for
+        # every call); a one-element value fetch forces real completion
+        np.asarray(outs[0])[0, 0]
         return outs
 
     # warmup/compile
@@ -162,14 +166,17 @@ def main():
     outs = frame()
     compile_s = time.monotonic() - t0
 
-    best = float("inf")
+    times_ms = []
     for _ in range(repeats):
         t0 = time.monotonic()
         frame()
-        best = min(best, time.monotonic() - t0)
+        times_ms.append((time.monotonic() - t0) * 1e3)
 
-    ms = best * 1e3
-    rays_per_s = n_rays / best
+    ms = min(times_ms)
+    sys.stderr.write(
+        "bench repeats (ms): " + ", ".join(f"{t:.1f}" for t in times_ms) + "\n"
+    )
+    rays_per_s = n_rays / (ms / 1e3)
     sys.stderr.write(
         f"bench: {width}x{height} semesterbild {config_name} | compile {compile_s:.1f}s | "
         f"{ms:.1f} ms/frame | {rays_per_s/1e6:.2f} Mprimary-rays/s (aa={aa}) | "

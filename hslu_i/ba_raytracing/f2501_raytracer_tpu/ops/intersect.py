@@ -156,9 +156,49 @@ def _sphere_nearest(scene, o, d, backface_culling):
     return jnp.min(st, axis=1), jnp.argmin(st, axis=1).astype(jnp.int32)
 
 
+def _bigtri_nearest_xla(scene, o4, d, backface_culling):
+    """Nearest hit over the big-primitive sublane pack (XLA path):
+    reconstructs a (12, P) coefficient block from trb_pack and reuses the
+    pair-tile test. Returns (t (R,), local_idx (R,)) with idx in [0, P)."""
+    pack = scene.trb_pack
+    t, valid = _tri_block_ts(pack[:, 0:12].T, pack[:, 12], pack[:, 13], o4, d)
+    if backface_culling:
+        cos_dn = _dot3_planes(d, pack[:, 15:18].T)
+        valid &= _backface_mask(cos_dn, pack[None, :, 14] != 0.0)
+    t = jnp.where(valid, t, INF)
+    return jnp.min(t, axis=1), jnp.argmin(t, axis=1).astype(jnp.int32)
+
+
+def _bigtri_occlusion_xla(scene, o4, d, max_distance, backface_culling):
+    """Shadow accumulators over the big-primitive pack (XLA path), same
+    semantics as one `_tri_occlusion_xla` block."""
+    pack = scene.trb_pack
+    t, valid = _tri_block_ts(pack[:, 0:12].T, pack[:, 12], pack[:, 13], o4, d)
+    httr = pack[None, :, 14] != 0.0
+    cos_nv = -_dot3_planes(d, pack[:, 15:18].T)
+    if backface_culling:
+        valid &= _backface_mask(-cos_nv, httr)
+    hit = valid & (t <= max_distance[:, None])
+    tr = _shadow_transmittance_red(
+        cos_nv, pack[None, :, 18], pack[None, :, 19], pack[None, :, 20],
+        pack[None, :, 21], httr,
+    )
+    tr = jnp.where(httr, tr, 0.0)
+    io = jnp.where(httr, pack[None, :, 19], 0.0) * tr
+    dec = jnp.sum(jnp.where(hit, 1.0 - io, 0.0), axis=1)
+    opq = jnp.any(hit & ~httr, axis=1)
+    hit_f = jnp.where(hit, 1.0, 0.0)
+    fsub = jnp.einsum("rp,pc->rc", hit_f, pack[:, 22:25])
+    return dec, opq, fsub
+
+
 def _tri_nearest_xla(scene, o4, d, backface_culling):
     S = scene.sphere_slots
-    tri_base = S + scene.tri_block * jnp.arange(scene.triangle_blocks, dtype=jnp.int32)
+    tri_base = (
+        S
+        + scene.n_bigtris
+        + scene.tri_block * jnp.arange(scene.triangle_blocks, dtype=jnp.int32)
+    )
 
     def body(carry, blk):
         bt, bi = carry
@@ -213,6 +253,7 @@ def cast_rays(
 
         (op, dp), _ = _pad_rays((o, d), 256)
         tt, tidx = pallas_cast_triangles(
+            scene.trb_pack,
             scene.tri_woop,
             scene.tri_nsq,
             scene.tri_valid_f,
@@ -232,6 +273,10 @@ def cast_rays(
         best_idx = jnp.where(closer, S + tidx, best_idx)
     else:
         o4 = jnp.concatenate([o, jnp.ones((R, 1), o.dtype)], axis=1)
+        bt, bidx = _bigtri_nearest_xla(scene, o4, d, backface_culling)
+        closer = bt < best_t
+        best_t = jnp.where(closer, bt, best_t)
+        best_idx = jnp.where(closer, S + bidx, best_idx)
         tt, tidx = _tri_nearest_xla(scene, o4, d, backface_culling)
         closer = tt < best_t
         best_t = jnp.where(closer, tt, best_t)
@@ -241,11 +286,14 @@ def cast_rays(
     t_safe = jnp.where(valid, best_t, 0.0)
     point = o + d * t_safe[:, None]
 
+    # ONE packed row gather instead of ~12 separate takes: a TPU gather
+    # costs ~the same per row regardless of row width (PERF.md), so the
+    # material fields + the normal auxiliary ride one (R, 16) fetch
+    row = jnp.take(scene.mat_pack, best_idx, axis=0)
     is_sphere = best_idx < S
-    center = jnp.take(scene.sph_center, jnp.minimum(best_idx, S - 1), axis=0)
-    sph_normal = normalized(point - center)
-    tri_normal = jnp.take(scene.obj_normal, best_idx, axis=0)
-    normal = jnp.where(is_sphere[:, None], sph_normal, tri_normal)
+    aux = row[:, 9:12]  # sphere center / triangle shading normal
+    sph_normal = normalized(point - aux)
+    normal = jnp.where(is_sphere[:, None], sph_normal, aux)
 
     return Hit(
         valid=valid,
@@ -253,13 +301,13 @@ def cast_rays(
         point=point,
         normal=normal,
         obj_idx=best_idx,
-        color=jnp.take(scene.mat_color, best_idx, axis=0),
-        metallic=jnp.take(scene.mat_metallic, best_idx),
-        shininess=jnp.take(scene.mat_shininess, best_idx),
-        ior=jnp.take(scene.mat_ior, best_idx),
-        opacity=jnp.take(scene.mat_opacity, best_idx),
-        has_trans=jnp.take(scene.mat_has_trans, best_idx),
-        boost=jnp.take(scene.mat_boost, best_idx),
+        color=row[:, 0:3],
+        metallic=row[:, 3],
+        shininess=row[:, 4],
+        ior=row[:, 5],
+        opacity=row[:, 6],
+        has_trans=row[:, 7] != 0.0,
+        boost=row[:, 8],
     )
 
 
@@ -387,6 +435,7 @@ def occlude_rays(
 
         (op_, dp_, mp_), R = _pad_rays((o, d, max_distance), 256)
         tdec, topq, tfsub = pallas_occlude_triangles(
+            scene.trb_pack,
             scene.tri_woop,
             scene.tri_nsq,
             scene.tri_valid_f,
@@ -404,6 +453,7 @@ def occlude_rays(
             mp_,
             backface_culling=backface_culling,
             interpret=interpret,
+            bigtri_trans=scene.bigtri_trans,
             block_has_trans=scene.block_has_trans,
             sb_sizes=scene.sb_sizes,
         )
@@ -412,6 +462,12 @@ def occlude_rays(
         fsub = fsub + tfsub[:R]
     else:
         o4 = jnp.concatenate([o, jnp.ones((o.shape[0], 1), o.dtype)], axis=1)
+        bdec, bopq, bfsub = _bigtri_occlusion_xla(
+            scene, o4, d, max_distance, backface_culling
+        )
+        dec = dec + bdec
+        opq = opq | bopq
+        fsub = fsub + bfsub
         tdec, topq, tfsub = _tri_occlusion_xla(scene, o4, d, max_distance, backface_culling)
         dec = dec + tdec
         opq = opq | topq

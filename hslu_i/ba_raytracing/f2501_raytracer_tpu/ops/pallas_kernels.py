@@ -187,25 +187,144 @@ def _cos_planes_comp(dx, dy, dz, tn):
 
 
 # ---------------------------------------------------------------------------
+# Big-primitive sublane pack: walls/floors with room-sized AABBs can never
+# be culled, so packing P of them onto the SUBLANE axis (trb_pack (P_pad,32),
+# scene/device.py) makes their unconditional pair math cost ceil(P/8)
+# sublane rows per VPU op instead of a full B-lane Morton block.
+# ---------------------------------------------------------------------------
+
+
+def _bigtri_tuv(trb, sox, soy, soz, dx, dy, dz):
+    """Woop transform on the (P, RT) pack tile: coefficient columns (P,1)
+    against flat (RT,) ray components. Lane layout: 3k+c, b at 9-11."""
+
+    def col(i):
+        return trb[:, i : i + 1]
+
+    def tfo(c):
+        return (
+            sox[None, :] * col(c)
+            + soy[None, :] * col(3 + c)
+            + soz[None, :] * col(6 + c)
+            + col(9 + c)
+        )
+
+    def tfd(c):
+        return dx[None, :] * col(c) + dy[None, :] * col(3 + c) + dz[None, :] * col(6 + c)
+
+    u_o, v_o, w_o = tfo(0), tfo(1), tfo(2)
+    u_d, v_d, w_d = tfd(0), tfd(1), tfd(2)
+    t = -w_o / w_d
+    u = u_o + t * u_d
+    v = v_o + t * v_d
+    return t, u, v, w_d
+
+
+def _bigtri_validity(trb, sox, soy, soz, dx, dy, dz):
+    """(t, valid, httr) on the (P, RT) pack tile (no backface term)."""
+    t, u, v, w_d = _bigtri_tuv(trb, sox, soy, soz, dx, dy, dz)
+    det = w_d * trb[:, 12:13]
+    valid = (
+        (t > F32_EPSILON)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v < 1.0)
+        & (jnp.abs(det) > F32_EPSILON)
+        & (trb[:, 13:14] != 0.0)
+    )
+    return t, valid, trb[:, 14:15] != 0.0
+
+
+def _bigtri_occl_comp(trb, sox, soy, soz, dx, dy, dz, maxd, backface_culling, with_trans):
+    """Shadow accumulators from the big-primitive pack; same semantics as
+    `_tri_occl_comp`'s per-block compute (raytracer.rs:24-106). Returns
+    (dec, opq, fr, fg, fb), all (RT,)."""
+    t, valid, httr = _bigtri_validity(trb, sox, soy, soz, dx, dy, dz)
+    if backface_culling or with_trans:
+        cos_nv = -(
+            dx[None, :] * trb[:, 15:16]
+            + dy[None, :] * trb[:, 16:17]
+            + dz[None, :] * trb[:, 17:18]
+        )
+    if backface_culling:
+        valid &= (-cos_nv < 0.75) | httr
+    hit = valid & (t <= maxd[None, :])
+    if with_trans:
+        # shadow Fresnel transmittance, red channel (material.rs:467-525
+        # with other_ior=1; raytracer.rs:57-74)
+        ior = trb[:, 18:19]
+        opv = trb[:, 19:20]
+        met = trb[:, 20:21]
+        col_r = trb[:, 21:22]
+        cos_theta = jnp.abs(cos_nv)
+        is_inside = cos_nv < 0.0
+        eta_t = jnp.where(is_inside, ior, 1.0 / ior)
+        sin2_t = eta_t * eta_t * (1.0 - cos_theta * cos_theta)
+        is_refl = met > 0.0
+        is_tir = (httr & is_inside & (sin2_t > 1.0)) | is_refl
+        f0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+        f0r = f0 + (col_r - f0) * met
+        omc = 1.0 - cos_theta
+        fres_r = f0r + (1.0 - f0r) * omc * omc * omc * omc * omc
+        f_r = jnp.where(is_tir, jnp.where(is_refl, met, 1.0), fres_r)
+        t_red = jnp.where(httr, 1.0 - f_r, 0.0)
+        io = jnp.where(httr, opv, 0.0) * t_red
+    else:
+        io = jnp.float32(0.0)
+    hit_f = jnp.where(hit, 1.0, 0.0)
+    return (
+        jnp.sum(hit_f * (1.0 - io), axis=0),
+        jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=0),
+        jnp.sum(hit_f * trb[:, 22:23], axis=0),
+        jnp.sum(hit_f * trb[:, 23:24], axis=0),
+        jnp.sum(hit_f * trb[:, 24:25], axis=0),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Nearest-hit cast kernel
 # ---------------------------------------------------------------------------
 
 
 def _cast_kernel(
-    o4_ref, d_ref, woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, aabb_ref,
-    saabb_ref, t_out, idx_out, *, nb, block_size, backface_culling, use_aabb,
-    sb_sizes,
+    o4_ref, d_ref, op_ref, dp_ref, trb_ref, woop_ref, nsq_ref, valid_ref,
+    httr_ref, tnorm_ref, aabb_ref, saabb_ref, t_out, idx_out, *, nb,
+    block_size, bigtri_slots, backface_culling, use_aabb, sb_sizes,
 ):
     o4 = o4_ref[:]
     d = d_ref[:]
     o3 = o4[:, 0:3]
     RT = o4.shape[0]
+
+    # ---- big-primitive pack: nearest hit on the (P, RT) sublane tile ----
+    # local index space: big primitive p -> p, Morton block b column c ->
+    # bigtri_slots + b*B + c (the caller adds the sphere offset). Ray
+    # components come from the PLANAR (3, RT) inputs — slicing a column of
+    # the (RT, 4) sublane-major o4 would be a cross-layout gather.
+    trb = trb_ref[:]
+    sox, soy, soz = op_ref[0], op_ref[1], op_ref[2]
+    dlx, dly, dlz = dp_ref[0], dp_ref[1], dp_ref[2]
+    bt, bvalid, bhttr = _bigtri_validity(trb, sox, soy, soz, dlx, dly, dlz)
+    if backface_culling:
+        cos_dn = (
+            dlx[None, :] * trb[:, 15:16]
+            + dly[None, :] * trb[:, 16:17]
+            + dlz[None, :] * trb[:, 17:18]
+        )
+        bvalid &= (cos_dn < 0.75) | bhttr
+    bt = jnp.where(bvalid, bt, INF)
+    bt_min = jnp.min(bt, axis=0)  # (RT,)
+    rows = jax.lax.broadcasted_iota(jnp.int32, bt.shape, 0)
+    bidx = jnp.min(
+        jnp.where(bt == bt_min[None, :], rows, jnp.int32(BIG_IDX)), axis=0
+    )
+
     # running minimum carried in registers; outputs written once at the end.
     # NB: block indices are python ints — dynamic VMEM indexing (traced
     # index) costs ~milliseconds per access on TPU.
     carry = (
-        jnp.full((RT, 1), INF, jnp.float32),   # best_t
-        jnp.full((RT, 1), BIG_IDX, jnp.int32),  # best_idx
+        bt_min.reshape(RT, 1),                                    # best_t
+        jnp.where(jnp.isfinite(bt_min), bidx, BIG_IDX).reshape(RT, 1),  # best_idx
     )
 
     def compute(b, c):
@@ -219,7 +338,11 @@ def _cast_kernel(
         tmin = jnp.min(t, axis=1, keepdims=True)
         cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
         idx = jnp.min(
-            jnp.where(t == tmin, cols + b * block_size, jnp.int32(BIG_IDX)),
+            jnp.where(
+                t == tmin,
+                cols + (bigtri_slots + b * block_size),
+                jnp.int32(BIG_IDX),
+            ),
             axis=1,
             keepdims=True,
         )
@@ -261,14 +384,17 @@ def _cast_kernel(
     ),
 )
 def pallas_cast_triangles(
-    tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3, tri_aabb, tri_saabb,
-    o, d, backface_culling=False, ray_tile=256, use_aabb=True, interpret=False,
-    sb_sizes=(),
+    trb_pack, tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3, tri_aabb,
+    tri_saabb, o, d, backface_culling=False, ray_tile=256, use_aabb=True,
+    interpret=False, sb_sizes=(),
 ):
-    """Nearest triangle hit: (t (R,), local_tri_idx (R,)). The whole
-    triangle SoA lives in VMEM; R must be a multiple of ray_tile."""
+    """Nearest triangle hit over the big-primitive pack + Morton blocks:
+    (t (R,), local_tri_idx (R,)) where big primitive p -> p and Morton slot
+    s -> P_pad + s. The whole triangle SoA lives in VMEM; R must be a
+    multiple of ray_tile."""
     R = o.shape[0]
     nb, _, B = tri_woop.shape
+    P_pad = trb_pack.shape[0]
     assert R % ray_tile == 0, (R, ray_tile)
     o4 = jnp.concatenate([o, jnp.ones((R, 1), o.dtype)], axis=1)
 
@@ -278,11 +404,15 @@ def pallas_cast_triangles(
     def ray(s):
         return pl.BlockSpec(s, lambda i: (i, 0), memory_space=pltpu.VMEM)
 
+    def rayt(s):  # per-ray planes: rays on the LANE axis
+        return pl.BlockSpec(s, lambda i: (0, i), memory_space=pltpu.VMEM)
+
     t_out, idx_out = pl.pallas_call(
         functools.partial(
             _cast_kernel,
             nb=nb,
             block_size=B,
+            bigtri_slots=P_pad,
             backface_culling=backface_culling,
             use_aabb=use_aabb,
             sb_sizes=sb_sizes,
@@ -291,6 +421,9 @@ def pallas_cast_triangles(
         in_specs=[
             ray((ray_tile, 4)),
             ray((ray_tile, 3)),
+            rayt((3, ray_tile)),
+            rayt((3, ray_tile)),
+            full(trb_pack.shape),
             full((nb, 12, B)),
             full((nb, 1, B)),
             full((nb, 1, B)),
@@ -305,8 +438,8 @@ def pallas_cast_triangles(
             jax.ShapeDtypeStruct((R, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(o4, d, tri_woop, tri_nsq[:, None], tri_valid[:, None], tri_httr[:, None],
-      tri_normal3, tri_aabb, tri_saabb)
+    )(o4, d, o.T, d.T, trb_pack, tri_woop, tri_nsq[:, None], tri_valid[:, None],
+      tri_httr[:, None], tri_normal3, tri_aabb, tri_saabb)
     return t_out[:, 0], idx_out[:, 0]
 
 
@@ -478,21 +611,22 @@ def _tri_occl_comp(
 
 
 def _occlude_kernel(
-    o_ref, d_ref, maxd_ref, woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref,
-    ior_ref, op_ref, met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
-    dec_out, opq_out, fsub_out, *, nb, backface_culling, use_aabb,
-    block_has_trans, sb_sizes,
+    o_ref, d_ref, maxd_ref, trb_ref, woop_ref, nsq_ref, valid_ref, httr_ref,
+    tnorm_ref, ior_ref, op_ref, met_ref, colr_ref, absn_ref, aabb_ref,
+    saabb_ref, dec_out, opq_out, fsub_out, *, nb, backface_culling, use_aabb,
+    bigtri_trans, block_has_trans, sb_sizes,
 ):
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
     maxd = maxd_ref[0]
-    RT = ox.shape[0]
-    z = jnp.zeros((RT,), jnp.float32)
+    dec, opq, fr, fg, fb = _bigtri_occl_comp(
+        trb_ref[:], ox, oy, oz, dx, dy, dz, maxd, backface_culling, bigtri_trans
+    )
     dec, opq, fr, fg, fb = _tri_occl_comp(
         woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref,
         met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
         ox, oy, oz, dx, dy, dz, maxd,
-        z, z, z, z, z,
+        dec, opq, fr, fg, fb,
         nb=nb, backface_culling=backface_culling, use_aabb=use_aabb,
         block_has_trans=block_has_trans, sb_sizes=sb_sizes,
     )
@@ -505,17 +639,18 @@ def _occlude_kernel(
     jax.jit,
     static_argnames=(
         "backface_culling", "ray_tile", "use_aabb", "interpret",
-        "block_has_trans", "sb_sizes",
+        "bigtri_trans", "block_has_trans", "sb_sizes",
     ),
 )
 def pallas_occlude_triangles(
-    tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
+    trb_pack, tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
     tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb, tri_saabb,
     o, d, max_distance, backface_culling=False, ray_tile=256, use_aabb=True,
-    interpret=False, block_has_trans=(), sb_sizes=(),
+    interpret=False, bigtri_trans=True, block_has_trans=(), sb_sizes=(),
 ):
-    """Shadow accumulators over triangle blocks: returns
-    (opacity_decrement_sum (R,), any_opaque (R,) bool, filter_sub (R,3))."""
+    """Shadow accumulators over the big-primitive pack + triangle blocks:
+    returns (opacity_decrement_sum (R,), any_opaque (R,) bool,
+    filter_sub (R,3))."""
     R = o.shape[0]
     nb, _, B = tri_woop.shape
     assert R % ray_tile == 0, (R, ray_tile)
@@ -535,6 +670,7 @@ def pallas_occlude_triangles(
             nb=nb,
             backface_culling=backface_culling,
             use_aabb=use_aabb,
+            bigtri_trans=bigtri_trans,
             block_has_trans=block_has_trans,
             sb_sizes=sb_sizes,
         ),
@@ -543,6 +679,7 @@ def pallas_occlude_triangles(
             rayt((3, ray_tile)),
             rayt((3, ray_tile)),
             rayt((1, ray_tile)),
+            full(trb_pack.shape),
             full((nb, 12, B)),
             full((nb, 1, B)),
             full((nb, 1, B)),
@@ -568,7 +705,7 @@ def pallas_occlude_triangles(
         ],
         interpret=interpret,
     )(
-        o.T, d.T, max_distance[None, :], tri_woop, tri_nsq[:, None],
+        o.T, d.T, max_distance[None, :], trb_pack, tri_woop, tri_nsq[:, None],
         tri_valid[:, None], tri_httr[:, None], tri_normal3,
         tri_ior[:, None], tri_op[:, None], tri_met[:, None], tri_colr[:, None],
         tri_absn, tri_aabb, tri_saabb,
@@ -592,13 +729,13 @@ MAX_UNROLL_LIGHTS = 8
 
 
 def _light_shade_kernel(
-    lights_ref, sph_ref,
+    lights_ref, sph_ref, trb_ref,
     woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref, met_ref,
     colr_ref, absn_ref, aabb_ref, saabb_ref,
     pt_ref, nrm_ref, view_ref, col_ref, shin_ref, valid_r_ref,
     direct_out, spec_out,
-    *, n_lights, nb, eps_dist, backface_culling, use_aabb, block_has_trans,
-    sb_sizes,
+    *, n_lights, nb, eps_dist, backface_culling, use_aabb, bigtri_trans,
+    block_has_trans, sb_sizes,
 ):
     ptx, pty, ptz = pt_ref[0], pt_ref[1], pt_ref[2]
     nx, ny, nz = nrm_ref[0], nrm_ref[1], nrm_ref[2]
@@ -620,6 +757,12 @@ def _light_shade_kernel(
             dec, opq, fr, fg, fb = _sphere_occl_comp(
                 sph_ref[:], sox, soy, soz, ldx, ldy, ldz, maxd, backface_culling
             )
+            bdec, bopq, bfr, bfg, bfb = _bigtri_occl_comp(
+                trb_ref[:], sox, soy, soz, ldx, ldy, ldz, maxd,
+                backface_culling, bigtri_trans,
+            )
+            dec, fr, fg, fb = dec + bdec, fr + bfr, fg + bfg, fb + bfb
+            opq = jnp.maximum(opq, bopq)
             return _tri_occl_comp(
                 woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref,
                 op_ref, met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
@@ -804,16 +947,16 @@ def _light_shade_kernel(
     jax.jit,
     static_argnames=(
         "n_lights", "eps_dist", "backface_culling", "ray_tile", "use_aabb",
-        "interpret", "block_has_trans", "sb_sizes",
+        "interpret", "bigtri_trans", "block_has_trans", "sb_sizes",
     ),
 )
 def pallas_light_shade(
-    light_pack, sph_pack,
+    light_pack, sph_pack, trb_pack,
     tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
     tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb, tri_saabb,
     point, normal, view, color, shininess, valid,
     n_lights, eps_dist, backface_culling=False, ray_tile=256, use_aabb=True,
-    interpret=False, block_has_trans=(), sb_sizes=(),
+    interpret=False, bigtri_trans=True, block_has_trans=(), sb_sizes=(),
 ):
     """Direct + specular lighting for R rays over n_lights point lights
     (shadow occlusion + shading fused). Returns (direct (R,3), spec (R,3)).
@@ -840,6 +983,7 @@ def pallas_light_shade(
             eps_dist=eps_dist,
             backface_culling=backface_culling,
             use_aabb=use_aabb,
+            bigtri_trans=bigtri_trans,
             block_has_trans=block_has_trans,
             sb_sizes=sb_sizes,
         ),
@@ -849,6 +993,7 @@ def pallas_light_shade(
             # reads per-light scalars, which want SMEM
             full((L_pad, 8)) if n_lights <= MAX_UNROLL_LIGHTS else smem((L_pad, 8)),
             full(sph_pack.shape),
+            full(trb_pack.shape),
             full((nb, 12, B)),
             full((nb, 1, B)),
             full((nb, 1, B)),
@@ -875,7 +1020,7 @@ def pallas_light_shade(
         ],
         interpret=interpret,
     )(
-        light_pack, sph_pack,
+        light_pack, sph_pack, trb_pack,
         tri_woop, tri_nsq[:, None], tri_valid[:, None], tri_httr[:, None],
         tri_normal3, tri_ior[:, None], tri_op[:, None], tri_met[:, None],
         tri_colr[:, None], tri_absn, tri_aabb, tri_saabb,

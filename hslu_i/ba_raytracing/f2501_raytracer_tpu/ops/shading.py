@@ -92,6 +92,7 @@ def calculate_lighting(
         direct, spec = pallas_light_shade(
             scene.light_pack,
             scene.sph_pack,
+            scene.trb_pack,
             scene.tri_woop,
             scene.tri_nsq,
             scene.tri_valid_f,
@@ -109,6 +110,7 @@ def calculate_lighting(
             eps_dist=float(epsilon_distance),
             backface_culling=cfg.backface_culling,
             interpret=cfg.interpret,
+            bigtri_trans=scene.bigtri_trans,
             block_has_trans=scene.block_has_trans,
             sb_sizes=scene.sb_sizes,
         )

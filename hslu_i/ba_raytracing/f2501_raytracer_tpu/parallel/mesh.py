@@ -128,6 +128,7 @@ def cast_nearest_objsharded(
     from ..ops.intersect import (
         INF,
         _backface_mask,
+        _bigtri_nearest_xla,
         _dot3_planes,
         _sphere_cos,
         _sphere_ts,
@@ -146,7 +147,11 @@ def cast_nearest_objsharded(
         woop4s, nsqs, tnorms, tvals = tri_stack
         local_nb = woop4s.shape[0]
         shard_i = jax.lax.axis_index(axis)
-        base = S + B * (shard_i * local_nb + jnp.arange(local_nb, dtype=jnp.int32))
+        base = (
+            S
+            + scene_rep.n_bigtris
+            + B * (shard_i * local_nb + jnp.arange(local_nb, dtype=jnp.int32))
+        )
 
         R = o_rep.shape[0]
         st, s_valid = _sphere_ts(scene_rep, o_rep, d_rep)
@@ -158,6 +163,12 @@ def cast_nearest_objsharded(
         best_idx = jnp.argmin(st, axis=1).astype(jnp.int32)
 
         o4 = jnp.concatenate([o_rep, jnp.ones((R, 1), o_rep.dtype)], axis=1)
+        # the big-primitive pack is small: computed replicated on every
+        # device (like the spheres); the pmin combine below is idempotent
+        bt, bidx = _bigtri_nearest_xla(scene_rep, o4, d_rep, backface_culling)
+        closer = bt < best_t
+        best_t = jnp.where(closer, bt, best_t)
+        best_idx = jnp.where(closer, S + bidx, best_idx)
 
         def body(carry, blk):
             bt, bi = carry

@@ -123,6 +123,12 @@ class DeviceScene:
     mat_boost: jax.Array  # (N,)
     mat_absorption: jax.Array  # (N, 3) — precomputed Material::absorption()
     obj_normal: jax.Array  # (N, 3) — triangle shading normal, zeros for spheres
+    # packed per-object row table for the post-cast material gather: ONE
+    # (R, 16) row gather replaces ~12 separate jnp.takes (TPU gathers cost
+    # ~the same per row regardless of width; measured in PERF.md). Columns:
+    # [color3 | metallic | shininess | ior | opacity | has_trans | boost |
+    #  aux3 (sphere center / triangle shading normal) | pad4]
+    mat_pack: jax.Array  # (N, 16)
 
     # flattened lights (soft-shadow cloud already expanded)
     light_pos: jax.Array  # (L, 3)
@@ -133,12 +139,22 @@ class DeviceScene:
     # [cx,cy,cz,rsq,ior,op,met,colr,httr,absr,absg,absb,valid,0,0,0]
     light_pack: jax.Array
     sph_pack: jax.Array
+    # big primitives (walls/floors): (P_pad, 32), one triangle per SUBLANE
+    # row — lanes 0-11 woop, 12 |ñ|², 13 valid, 14 httr, 15-17 normal,
+    # 18 ior, 19 opacity, 20 metallic, 21 color.r, 22-24 absorption; object
+    # index range [S_pad, S_pad + P_pad). See the slot-layout comment in
+    # build_device_scene.
+    trb_pack: jax.Array
 
     # static metadata
     n_lights: int = dataclasses.field(metadata=dict(static=True))
     n_spheres: int = dataclasses.field(metadata=dict(static=True))
     n_triangles: int = dataclasses.field(metadata=dict(static=True))
     tri_block: int = dataclasses.field(metadata=dict(static=True))
+    # big-primitive pack: slot count and whether any is transmissive (static:
+    # all-opaque packs skip the shadow-Fresnel math in the kernels)
+    n_bigtris: int = dataclasses.field(default=8, metadata=dict(static=True))
+    bigtri_trans: bool = dataclasses.field(default=True, metadata=dict(static=True))
     # which blocks contain transmissive materials (static: lets the shadow
     # kernel skip the Fresnel math on all-opaque blocks)
     block_has_trans: tuple = dataclasses.field(default=(), metadata=dict(static=True))
@@ -156,6 +172,9 @@ class DeviceScene:
 
 
 SUPERBLOCK = 8  # Morton blocks per superblock AABB (two-level culling)
+# big primitives beyond this count overflow back into the Morton blocks
+# (the sublane pack's pair math is unconditional, so it must stay small)
+BIGTRI_CAP = 128
 
 
 def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1) -> DeviceScene:
@@ -298,6 +317,27 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         tnormal[real_slots] = norms[tri_sel]
         tvalid[real_slots] = ok
 
+    # ---- big-primitive sublane pack ---------------------------------------
+    # (P_pad, 32): one big triangle per SUBLANE row, its 25 property planes
+    # on lanes — lanes 0-11 woop coefficients (3k+c convention, 9-11 = b),
+    # 12 |ñ|², 13 valid, 14 httr, 15-17 shading normal, 18 ior, 19 opacity,
+    # 20 metallic, 21 color red, 22-24 absorption. P big primitives then
+    # cost ceil(P/8) sublane rows per VPU op in the pair kernels instead of
+    # a full B-lane block that a room-sized AABB can never cull.
+    trb_pack = np.zeros((P_pad, 32), np.float32)
+    trb_pack[:, 18] = 1.0  # padding ior 1.0 keeps fresnel math finite
+    if len(big_idx):
+        bw4, bn2, bok = compute_woop_transforms(
+            v1s[big_idx], v2s[big_idx], v3s[big_idx]
+        )
+        P = len(big_idx)
+        # (P,4,3) [A^T|b] -> lane 3k+c
+        trb_pack[:P, 0:12] = bw4.reshape(P, 12)
+        trb_pack[:P, 12] = bn2
+        trb_pack[:P, 13] = bok.astype(np.float32)
+        bnorms = np.stack([triangles[i].normal for i in big_idx]).astype(np.float32)
+        trb_pack[:P, 15:18] = bnorms
+
     mat_color = np.zeros((N, 3), np.float32)
     mat_metallic = np.zeros((N,), np.float32)
     mat_shininess = np.zeros((N,), np.float32)
@@ -320,17 +360,33 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
 
     for i, sph in enumerate(spheres):
         fill_mat(i, sph.material)
+    # big-primitive object range: [S_pad, S_pad + P_pad)
+    for p, ti in enumerate(big_idx):
+        t = triangles[ti]
+        fill_mat(S_pad + p, t.material)
+        obj_normal[S_pad + p] = t.normal
+        trb_pack[p, 14] = float(t.material.transmission.mask)
+        trb_pack[p, 18] = t.material.transmission.refraction_index
+        trb_pack[p, 19] = (
+            t.material.transmission.opacity
+            if t.material.transmission.opacity is not None
+            else 0.0
+        )
+        trb_pack[p, 20] = t.material.metallic
+        trb_pack[p, 21] = t.material.color[0]
+        trb_pack[p, 22:25] = t.material.absorption()
+    # Morton-block object range: [S_pad + P_pad, N)
     for slot, ti in zip(real_slots, tri_sel):
         t = triangles[ti]
-        fill_mat(S_pad + slot, t.material)
-        obj_normal[S_pad + slot] = t.normal
+        fill_mat(S_pad + P_pad + slot, t.material)
+        obj_normal[S_pad + P_pad + slot] = t.normal
 
     def planar(x):  # (T_pad, ...) -> block-planar (nb, ..., B)
         if x.ndim == 1:
             return x.reshape(nb, B)
         return x.reshape(nb, B, x.shape[1]).transpose(0, 2, 1)
 
-    tri_slice = slice(S_pad, S_pad + T_pad)
+    tri_slice = slice(S_pad + P_pad, N)
 
     cam = cfg.camera
     lp, lc, li = preprocess_lights(
@@ -367,6 +423,17 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     sph_pack[:, 9:12] = mat_absorption[:S_pad]
     sph_pack[:, 12] = sph_valid.astype(np.float32)
 
+    mat_pack = np.zeros((N, 16), np.float32)
+    mat_pack[:, 0:3] = mat_color
+    mat_pack[:, 3] = mat_metallic
+    mat_pack[:, 4] = mat_shininess
+    mat_pack[:, 5] = mat_ior
+    mat_pack[:, 6] = mat_opacity
+    mat_pack[:, 7] = mat_has_trans.astype(np.float32)
+    mat_pack[:, 8] = mat_boost
+    mat_pack[:, 9:12] = obj_normal
+    mat_pack[:S_pad, 9:12] = sph_center  # sphere rows: center for the normal
+
     return DeviceScene(
         sph_center=jnp.asarray(sph_center),
         sph_r_sq=jnp.asarray(sph_r_sq),
@@ -394,15 +461,19 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         mat_boost=jnp.asarray(mat_boost),
         mat_absorption=jnp.asarray(mat_absorption),
         obj_normal=jnp.asarray(obj_normal),
+        mat_pack=jnp.asarray(mat_pack),
         light_pos=jnp.asarray(light_pos),
         light_color=jnp.asarray(light_color),
         light_intensity=jnp.asarray(light_intensity),
         light_pack=jnp.asarray(light_pack),
         sph_pack=jnp.asarray(sph_pack),
+        trb_pack=jnp.asarray(trb_pack),
         n_lights=L_real,
         n_spheres=S_pad,
         n_triangles=T_pad,
         tri_block=B,
+        n_bigtris=P_pad,
+        bigtri_trans=bool(mat_has_trans[S_pad : S_pad + P_pad].any()),
         block_has_trans=tuple(
             bool(mat_has_trans[S_pad + b * B : S_pad + (b + 1) * B].any())
             for b in range(nb)

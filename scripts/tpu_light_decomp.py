@@ -58,7 +58,7 @@ def timeit(name, fn):
 
 def light(ds2, use_aabb=True, bht=None):
     return lambda: pallas_light_shade(
-        ds2.light_pack, ds2.sph_pack, ds2.tri_woop, ds2.tri_nsq, ds2.tri_valid_f,
+        ds2.light_pack, ds2.sph_pack, ds2.trb_pack, ds2.tri_woop, ds2.tri_nsq, ds2.tri_valid_f,
         ds2.tri_httr_f, ds2.tri_normal3, ds2.tri_ior, ds2.tri_op, ds2.tri_met,
         ds2.tri_colr, ds2.tri_absn, ds2.tri_aabb, ds2.tri_saabb,
         point, normal, view, color, shin, validf,
@@ -87,19 +87,44 @@ def subset(ds0, blocks, sbs):
 
 timeit("full scene (current)", light(ds))
 timeit("no AABB gates", light(ds, use_aabb=False))
-big = subset(ds, [0], (1,))
-timeit("big block only", light(big))
-txt = subset(ds, [1, 2, 3, 4], (4,))
-timeit("text blocks only", light(txt))
-timeit("full, big forced opaque", light(ds, bht=(False, False, False, False, False)))
+nbk = ds.triangle_blocks
+timeit("full, morton forced opaque", light(ds, bht=(False,) * nbk))
 
 # cast kernel vs cast_rays (kernel + material-gather glue)
 def raw_cast():
     return pallas_cast_triangles(
-        ds.tri_woop, ds.tri_nsq, ds.tri_valid_f, ds.tri_httr_f, ds.tri_normal3,
+        ds.trb_pack, ds.tri_woop, ds.tri_nsq, ds.tri_valid_f, ds.tri_httr_f, ds.tri_normal3,
         ds.tri_aabb, ds.tri_saabb, o, d, backface_culling=True,
         sb_sizes=ds.sb_sizes,
     )
 timeit("raw cast kernel", raw_cast)
 full_cast = jax.jit(lambda: cast_rays(ds, o, d, True, True))
 timeit("cast_rays (kernel+spheres+gathers)", lambda: full_cast())
+
+# ---- floor analysis: what does an (almost) empty occlusion scan cost? ----
+import jax.numpy as jnp2
+
+def empty_scene(ds0):
+    z = lambda a: jnp.zeros_like(a)
+    return dataclasses.replace(
+        ds0,
+        sph_pack=z(ds0.sph_pack),
+        trb_pack=z(ds0.trb_pack),
+        tri_woop=ds0.tri_woop[:1], tri_nsq=ds0.tri_nsq[:1],
+        tri_valid_f=z(ds0.tri_valid_f[:1]), tri_httr_f=ds0.tri_httr_f[:1] * 0,
+        tri_normal3=ds0.tri_normal3[:1], tri_ior=ds0.tri_ior[:1],
+        tri_op=ds0.tri_op[:1], tri_met=ds0.tri_met[:1],
+        tri_colr=ds0.tri_colr[:1], tri_absn=ds0.tri_absn[:1],
+        tri_aabb=jnp.tile(jnp.float32([1e8,1e8,1e8,-1e8,-1e8,-1e8,0,0]), (1,1)),
+        tri_saabb=jnp.tile(jnp.float32([1e8,1e8,1e8,-1e8,-1e8,-1e8,0,0]), (1,1)),
+        block_has_trans=(False,), sb_sizes=(1,),
+    )
+
+es = empty_scene(ds)
+timeit("empty scene (floor)", light(es))
+
+def nl(ds0, n):
+    return dataclasses.replace(ds0, n_lights=n)
+timeit("full, 1 light", light(nl(ds, 1)))
+timeit("full, 2 lights", light(nl(ds, 2)))
+timeit("empty, 1 light", light(nl(es, 1)))
