@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--small", action="store_true", help="228x190 quick render")
     ap.add_argument("--scene", default="semesterbild",
                     choices=["semesterbild", "test_scene", "test_text"])
+    ap.add_argument("--live", action="store_true",
+                    help="terminal live preview of the progressive render "
+                         "(the reference's window analog; also rewrites "
+                         "OUT.partial.png as tiles land)")
     args = ap.parse_args()
 
     w = args.width or (228 if args.small else None)
@@ -41,7 +45,18 @@ def main():
           f"{len(scene.scene_lights)} lights | {cfg.feature_string()}")
 
     renderer = RaytracerRenderer(cfg)
-    buf = renderer.render(scene, progress=lambda b, f: print(f"  {f:6.1%}", end="\r"))
+    if args.live:
+        from hslu_i.ba_raytracing.f2501_raytracer_tpu.output.preview import (
+            TerminalPreview,
+        )
+
+        preview = TerminalPreview(png_path=args.out + ".partial.png")
+        buf = renderer.render(scene, progress=preview)
+        preview.finish(buf)
+    else:
+        buf = renderer.render(
+            scene, progress=lambda b, f: print(f"  {f:6.1%}", end="\r")
+        )
     print(f"\nRender timing done! {buf.timing!r}")
     FileOutput(args.out).render_buffer(buf)
     print(f"saved {args.out}")

@@ -719,13 +719,209 @@ def pallas_occlude_triangles(
 # reference's shading math (ref raytracer_renderer.rs:731-874,
 # light.rs:261-300, raytracer.rs:24-106), accumulating direct+specular —
 # one launch instead of per-light occlusion launches plus XLA shading glue.
+#
+# Affine shadow factorization: a shadow ray's origin/direction are affine in
+# (hit_point, light_pos) — origin = p + ε·l̂, direction l̂ ∝ (l - p) — and the
+# Woop transform T(x) = A·x + b is affine too, so the per-(ray, light, tri)
+# transform collapses to differences of two cheaper transforms:
+#     A·(l - p)        = T(l) - T(p)            (per-light  × per-ray terms)
+#     T(p + ε·l̂)       = T(p) + (ε/|l-p|)·(T(l) - T(p))
+# T(p) is hoisted out of the light loop (once per (ray, tri) block) and T(l)
+# costs O(B) per light. The pair math then runs in the UNNORMALIZED
+# parameterization τ = t/|l-p| (same ray, scaled parameter): the reference's
+# comparisons are preserved exactly by rescaling their thresholds per
+# (ray, light):  t > ε         ⇔ τ > ε/|l-p|
+#                t ≤ maxd      ⇔ τ ≤ maxd/|l-p|
+#                |w_d·ñ²| > ε  ⇔ |Δw·ñ²| > ε·|l-p|
+# and cos(n̂, l̂) = (n̂·l - n̂·p)/|l-p| reuses the same trick. This cuts the
+# per-pair VPU op count ~1.5-2x (the transform was over half the ops).
 # ---------------------------------------------------------------------------
 
 
-# lights up to this count are unrolled and their shading vectorized on the
-# SUBLANE axis ((L, RT) tiles): one VPU op covers every light, amortizing
-# the ~15 cycle per-op issue overhead that dominates flat (RT,) math
+# lights are processed in chunks of up to this size: per-(light, ray) shading
+# runs on (C, RT) SUBLANE-stacked tiles (one VPU op covers the whole chunk,
+# amortizing the ~15-cycle issue overhead that dominates flat (RT,) math) and
+# per-ray point transforms are shared across the chunk's shadow scans
 MAX_UNROLL_LIGHTS = 8
+
+
+def _pt_transforms(woop, tn, ptx, pty, ptz, need_n):
+    """Hoisted per-(ray, tri) Woop transforms of the hit point for one
+    block: returns (T_u(p), T_v(p), T_w(p), n̂·p), each (RT, B)."""
+
+    def pf(k0):
+        return (
+            ptx[:, None] * woop[k0][None, :]
+            + pty[:, None] * woop[k0 + 3][None, :]
+            + ptz[:, None] * woop[k0 + 6][None, :]
+            + woop[k0 + 9][None, :]
+        )
+
+    Pn = None
+    if need_n:
+        Pn = (
+            ptx[:, None] * tn[0][None, :]
+            + pty[:, None] * tn[1][None, :]
+            + ptz[:, None] * tn[2][None, :]
+        )
+    return pf(0), pf(1), pf(2), Pn
+
+
+def _lt_pair_update(
+    woop, nsq, tval, httr_f, tn, iorp, opp, metp, colrp, absn,
+    carry, lj, P, trans_block, backface_culling,
+):
+    """Shadow accumulation for ONE (light, block) pair tile from hoisted
+    point transforms (affine factorization above). Semantics identical to
+    `_tri_occl_comp`'s per-block compute (raytracer.rs:24-106)."""
+    dec, opq, fr, fg, fb = carry
+    Pu, Pv, Pw, Pn = P
+    lpx, lpy, lpz = lj["lpx"], lj["lpy"], lj["lpz"]  # (1, 1)
+
+    def lf(k0):
+        return (
+            lpx * woop[k0][None, :]
+            + lpy * woop[k0 + 3][None, :]
+            + lpz * woop[k0 + 6][None, :]
+            + woop[k0 + 9][None, :]
+        )
+
+    Du = lf(0) - Pu
+    Dv = lf(1) - Pv
+    Dw = lf(2) - Pw
+    el = lj["el"]  # (RT,1) = ε/|l-p|
+    u_o = Pu + el * Du
+    v_o = Pv + el * Dv
+    w_o = Pw + el * Dw
+    t = -w_o / Dw  # τ-parameterization (t/|l-p|)
+    u = u_o + t * Du
+    v = v_o + t * Dv
+    det = Dw * nsq[None, :]
+    httr = httr_f[None, :] != 0.0
+    valid = (
+        (t > lj["epsT"])
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v < 1.0)
+        & (jnp.abs(det) > lj["epsD"])
+        & (tval[None, :] != 0.0)
+    )
+    if backface_culling or trans_block:
+        Ln = (
+            lpx * tn[0][None, :]
+            + lpy * tn[1][None, :]
+            + lpz * tn[2][None, :]
+        )
+        cos_nv = (Pn - Ln) * lj["inv_lt"]  # = -(l̂·n̂), true cosine
+    if backface_culling:
+        valid &= (-cos_nv < 0.75) | httr
+    hit = valid & (t <= lj["maxdp"])
+    if trans_block:
+        # shadow Fresnel transmittance, red channel (material.rs:467-525
+        # with other_ior=1; raytracer.rs:57-74)
+        ior = iorp[None, :]
+        met = metp[None, :]
+        col_r = colrp[None, :]
+        opv = opp[None, :]
+        cos_theta = jnp.abs(cos_nv)
+        is_inside = cos_nv < 0.0
+        eta_t = jnp.where(is_inside, ior, 1.0 / ior)
+        sin2_t = eta_t * eta_t * (1.0 - cos_theta * cos_theta)
+        is_refl = met > 0.0
+        is_tir = (httr & is_inside & (sin2_t > 1.0)) | is_refl
+        f0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+        f0r = f0 + (col_r - f0) * met
+        omc = 1.0 - cos_theta
+        fres_r = f0r + (1.0 - f0r) * omc * omc * omc * omc * omc
+        f_r = jnp.where(is_tir, jnp.where(is_refl, met, 1.0), fres_r)
+        t_red = jnp.where(httr, 1.0 - f_r, 0.0)
+        io = jnp.where(httr, opv, 0.0) * t_red
+    else:
+        io = jnp.float32(0.0)
+    hit_f = jnp.where(hit, 1.0, 0.0)
+    return (
+        dec + jnp.sum(hit_f * (1.0 - io), axis=1),
+        jnp.maximum(opq, jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=1)),
+        fr + jnp.sum(hit_f * absn[0][None, :], axis=1),
+        fg + jnp.sum(hit_f * absn[1][None, :], axis=1),
+        fb + jnp.sum(hit_f * absn[2][None, :], axis=1),
+    )
+
+
+def _tri_occl_lights(
+    woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref,
+    met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
+    ptx, pty, ptz, lights, carries,
+    *, nb, backface_culling, use_aabb, block_has_trans, sb_sizes,
+):
+    """Shadow accumulation over triangle blocks for a CHUNK of lights,
+    block-outer / light-inner so the per-(ray, tri) point transforms are
+    computed once per block and shared by every light's scan. Per-(block,
+    light) alive gates (segment-AABB + opaque early-out, raytracer.rs:94-96)
+    skip work exactly as the light-outer form did. `lights` is a list of
+    per-light dicts, `carries` a matching tuple of (dec, opq, fr, fg, fb)."""
+    C = len(lights)
+
+    def block_alive(j, box_ref, idx, carry):
+        lj = lights[j]
+        gate = _gate_flat(
+            box_ref, idx, lj["sox"], lj["soy"], lj["soz"],
+            lj["invx"], lj["invy"], lj["invz"], lj["maxd"],
+        )
+        return gate & lj["reach"] & (carry[1] < 1.0)
+
+    def run_block(b, carries):
+        trans_block = block_has_trans[b] if block_has_trans else True
+        need_n = backface_culling or trans_block
+
+        def pair(b, c, j, P):
+            return _lt_pair_update(
+                woop_ref[b], nsq_ref[b, 0], valid_ref[b, 0], httr_ref[b, 0],
+                tnorm_ref[b], ior_ref[b, 0], op_ref[b, 0], met_ref[b, 0],
+                colr_ref[b, 0], absn_ref[b],
+                c, lights[j], P, trans_block, backface_culling,
+            )
+
+        if not use_aabb:
+            P = _pt_transforms(woop_ref[b], tnorm_ref[b], ptx, pty, ptz, need_n)
+            return tuple(pair(b, carries[j], j, P) for j in range(C))
+
+        alive = [block_alive(j, aabb_ref, b, carries[j]) for j in range(C)]
+        anyb = jnp.any(alive[0])
+        for a in alive[1:]:
+            anyb |= jnp.any(a)
+
+        def do(cs):
+            P = _pt_transforms(woop_ref[b], tnorm_ref[b], ptx, pty, ptz, need_n)
+            return tuple(
+                jax.lax.cond(
+                    jnp.any(alive[j]),
+                    lambda c, j=j: pair(b, c, j, P),
+                    lambda c: c,
+                    cs[j],
+                )
+                for j in range(C)
+            )
+
+        return jax.lax.cond(anyb, do, lambda cs: cs, carries)
+
+    groups = _superblock_groups(nb, sb_sizes)
+    for gi, grp in enumerate(groups):
+
+        def run_group(cs, grp=grp):
+            for b in grp:
+                cs = run_block(b, cs)
+            return cs
+
+        if use_aabb and len(grp) > 1:
+            alive_g = [block_alive(j, saabb_ref, gi, carries[j]) for j in range(C)]
+            anyg = jnp.any(alive_g[0])
+            for a in alive_g[1:]:
+                anyg |= jnp.any(a)
+            carries = jax.lax.cond(anyg, run_group, lambda cs: cs, carries)
+        else:
+            carries = run_group(carries)
+    return carries
 
 
 def _light_shade_kernel(
@@ -749,45 +945,21 @@ def _light_shade_kernel(
     spec_exp = jnp.maximum(shin * 512.0, 1.0)
     zf = jnp.zeros((RT,), jnp.float32)
 
-    def occlusion_for(sox, soy, soz, ldx, ldy, ldz, maxd, occl_lane):
-        """Shadow scan for one light; whole-light lax.cond skip when no lane
-        in the tile can see the light."""
+    C = min(n_lights, MAX_UNROLL_LIGHTS)
+    n_chunks = -(-n_lights // C)
 
-        def occl(_):
-            dec, opq, fr, fg, fb = _sphere_occl_comp(
-                sph_ref[:], sox, soy, soz, ldx, ldy, ldz, maxd, backface_culling
-            )
-            bdec, bopq, bfr, bfg, bfb = _bigtri_occl_comp(
-                trb_ref[:], sox, soy, soz, ldx, ldy, ldz, maxd,
-                backface_culling, bigtri_trans,
-            )
-            dec, fr, fg, fb = dec + bdec, fr + bfr, fg + bfg, fb + bfb
-            opq = jnp.maximum(opq, bopq)
-            return _tri_occl_comp(
-                woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref,
-                op_ref, met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
-                sox, soy, soz, ldx, ldy, ldz, maxd, dec, opq, fr, fg, fb,
-                nb=nb, backface_culling=backface_culling, use_aabb=use_aabb,
-                block_has_trans=block_has_trans, sb_sizes=sb_sizes,
-            )
-
-        if use_aabb:
-            return jax.lax.cond(
-                jnp.any(occl_lane), occl, lambda _: (zf, zf, zf, zf, zf), 0
-            )
-        return occl(0)
-
-    if n_lights <= MAX_UNROLL_LIGHTS:
-        # ---- light-batched path: all per-(light, ray) math on (L, RT) ----
-        L = n_lights
-        lv = lights_ref[:]  # (L_pad, 8) in VMEM
-        lpx, lpy, lpz = lv[:L, 0:1], lv[:L, 1:2], lv[:L, 2:3]  # (L, 1)
-        lcr, lcg, lcb = lv[:L, 3:4], lv[:L, 4:5], lv[:L, 5:6]
-        lint = lv[:L, 6:7]
+    def chunk_sums(lv, l0):
+        """Direct+specular partial sums for one chunk of C lights. `lv` is
+        the chunk's (C, 8) light rows, `l0` its base index (traced for the
+        fori path); lights past n_lights are disabled via `en`."""
+        lpx, lpy, lpz = lv[:, 0:1], lv[:, 1:2], lv[:, 2:3]  # (C, 1)
+        lcr, lcg, lcb = lv[:, 3:4], lv[:, 4:5], lv[:, 5:6]
+        lint = lv[:, 6:7]
 
         ltpx, ltpy, ltpz = lpx - ptx[None, :], lpy - pty[None, :], lpz - ptz[None, :]
         lt2 = ltpx * ltpx + ltpy * ltpy + ltpz * ltpz
-        inv_lt = 1.0 / jnp.sqrt(lt2)
+        lt = jnp.sqrt(lt2)
+        inv_lt = 1.0 / lt
         ldx, ldy, ldz = ltpx * inv_lt, ltpy * inv_lt, ltpz * inv_lt
         sox = ptx[None, :] + ldx * eps_dist
         soy = pty[None, :] + ldy * eps_dist
@@ -795,33 +967,79 @@ def _light_shade_kernel(
         dex, dey, dez = lpx - sox, lpy - soy, lpz - soz
 
         # PointLight::calculate_contribution_at (light.rs:261-300)
-        light_distance = jnp.sqrt(lt2) + F32_EPSILON
+        light_distance = lt + F32_EPSILON
         cos_in = (
             ltpx * nx[None, :] + ltpy * ny[None, :] + ltpz * nz[None, :]
         ) / light_distance
         angle_pos = cos_in > 0.0
+        en = (
+            l0 + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+        ) < n_lights  # (C, 1): tail-chunk lights past n_lights are inert
         # zero max-distance on lanes whose occlusion result is provably
         # unused: parked/invalid rays AND light-behind-surface lanes (every
         # downstream term multiplies by ci=0/ccol=0 there) — zeroed lanes
         # drop out of the per-ray block gates, so back-facing tiles skip the
         # whole shadow scan for this light
-        occl_lane = valid[None, :] & angle_pos
+        occl_lane = valid[None, :] & angle_pos & en
         maxd = jnp.where(
             occl_lane, jnp.sqrt(dex * dex + dey * dey + dez * dez), 0.0
         )
+        # per-light rescaled thresholds for the τ-parameterized pair math
+        # (affine factorization, see module comment above)
+        invx, invy, invz = 1.0 / ldx, 1.0 / ldy, 1.0 / ldz
+        maxdp = maxd * inv_lt
+        epsT = F32_EPSILON * inv_lt
+        epsD = F32_EPSILON * lt
+        el = eps_dist * inv_lt
 
-        outs = [
-            occlusion_for(
-                sox[l], soy[l], soz[l], ldx[l], ldy[l], ldz[l], maxd[l],
-                occl_lane[l],
+        lights, carries = [], []
+        for j in range(C):
+            lights.append(
+                dict(
+                    lpx=lpx[j : j + 1], lpy=lpy[j : j + 1], lpz=lpz[j : j + 1],
+                    sox=sox[j], soy=soy[j], soz=soz[j],
+                    invx=invx[j], invy=invy[j], invz=invz[j],
+                    maxd=maxd[j], reach=maxd[j] > 0.0,
+                    maxdp=maxdp[j][:, None], epsT=epsT[j][:, None],
+                    epsD=epsD[j][:, None], el=el[j][:, None],
+                    inv_lt=inv_lt[j][:, None],
+                )
             )
-            for l in range(L)
-        ]
-        dec = jnp.stack([o[0] for o in outs])  # (L, RT)
-        opq = jnp.stack([o[1] for o in outs])
-        fr = jnp.stack([o[2] for o in outs])
-        fg = jnp.stack([o[3] for o in outs])
-        fb = jnp.stack([o[4] for o in outs])
+
+            def sb_occl(_, j=j):
+                d_, q_, r_, g_, b_ = _sphere_occl_comp(
+                    sph_ref[:], sox[j], soy[j], soz[j],
+                    ldx[j], ldy[j], ldz[j], maxd[j], backface_culling,
+                )
+                bd, bq, br, bg, bb = _bigtri_occl_comp(
+                    trb_ref[:], sox[j], soy[j], soz[j],
+                    ldx[j], ldy[j], ldz[j], maxd[j],
+                    backface_culling, bigtri_trans,
+                )
+                return d_ + bd, jnp.maximum(q_, bq), r_ + br, g_ + bg, b_ + bb
+
+            if use_aabb:
+                carries.append(
+                    jax.lax.cond(
+                        jnp.any(occl_lane[j]), sb_occl,
+                        lambda _: (zf, zf, zf, zf, zf), 0,
+                    )
+                )
+            else:
+                carries.append(sb_occl(0))
+
+        carries = _tri_occl_lights(
+            woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref,
+            op_ref, met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
+            ptx, pty, ptz, lights, tuple(carries),
+            nb=nb, backface_culling=backface_culling, use_aabb=use_aabb,
+            block_has_trans=block_has_trans, sb_sizes=sb_sizes,
+        )
+        dec = jnp.stack([c[0] for c in carries])  # (C, RT)
+        opq = jnp.stack([c[1] for c in carries])
+        fr = jnp.stack([c[2] for c in carries])
+        fg = jnp.stack([c[3] for c in carries])
+        fb = jnp.stack([c[4] for c in carries])
 
         combined_opacity = jnp.clip(1.0 - dec, 0.0, 1.0)
         can_reach = (opq < 1.0) & valid[None, :]
@@ -853,7 +1071,7 @@ def _light_shade_kernel(
         op_sel = jnp.where(can_reach, combined_opacity, 1.0)
         lf = diffuse * ci * op_sel
         sf = ci * op_sel * spec_f
-        m = (diffuse > 0.0) & can_reach & valid[None, :]
+        m = (diffuse > 0.0) & can_reach & valid[None, :] & en
         dr = jnp.sum(jnp.where(m, mcr[None, :] * lcsr * lf, 0.0), axis=0)
         dg = jnp.sum(jnp.where(m, mcg[None, :] * lcsg * lf, 0.0), axis=0)
         db = jnp.sum(jnp.where(m, mcb[None, :] * lcsb * lf, 0.0), axis=0)
@@ -861,86 +1079,23 @@ def _light_shade_kernel(
         spr = jnp.sum(jnp.where(ms, lcr * sf, 0.0), axis=0)
         spg = jnp.sum(jnp.where(ms, lcg * sf, 0.0), axis=0)
         spb = jnp.sum(jnp.where(ms, lcb * sf, 0.0), axis=0)
-        direct_out[:] = jnp.stack([dr, dg, db])
-        spec_out[:] = jnp.stack([spr, spg, spb])
-        return
-
-    # ---- many-light path (soft-shadow clouds): fori over lights ----
-    def light_body(l, acc):
-        dr, dg, db, spr, spg, spb = acc
-        # scalar light parameters live in SMEM
-        lpx = lights_ref[l, 0]
-        lpy = lights_ref[l, 1]
-        lpz = lights_ref[l, 2]
-        lcr = lights_ref[l, 3]
-        lcg = lights_ref[l, 4]
-        lcb = lights_ref[l, 5]
-        lint = lights_ref[l, 6]
-
-        ltpx, ltpy, ltpz = lpx - ptx, lpy - pty, lpz - ptz
-        lt2 = ltpx * ltpx + ltpy * ltpy + ltpz * ltpz
-        inv_lt = 1.0 / jnp.sqrt(lt2)
-        ldx, ldy, ldz = ltpx * inv_lt, ltpy * inv_lt, ltpz * inv_lt
-        sox, soy, soz = ptx + ldx * eps_dist, pty + ldy * eps_dist, ptz + ldz * eps_dist
-        dex, dey, dez = lpx - sox, lpy - soy, lpz - soz
-
-        light_distance = jnp.sqrt(lt2) + F32_EPSILON
-        cos_in = (ltpx * nx + ltpy * ny + ltpz * nz) / light_distance
-        angle_pos = cos_in > 0.0
-        occl_lane = valid & angle_pos
-        maxd = jnp.where(
-            occl_lane, jnp.sqrt(dex * dex + dey * dey + dez * dez), 0.0
-        )
-
-        dec, opq, fr, fg, fb = occlusion_for(
-            sox, soy, soz, ldx, ldy, ldz, maxd, occl_lane
-        )
-        combined_opacity = jnp.clip(1.0 - dec, 0.0, 1.0)
-        can_reach = (opq < 1.0) & valid
-
-        att = 0.95 * (F32_EPSILON + light_distance + light_distance * light_distance)
-        att_sig = (jnp.tanh(att) + 1.0) / 2.0
-        ci = jnp.where(angle_pos, cos_in * lint * jnp.clip(att_sig, 0.0, 1.0), 0.0)
-        ccr = jnp.where(angle_pos, mcr * lcr, 0.0)
-        ccg = jnp.where(angle_pos, mcg * lcg, 0.0)
-        ccb = jnp.where(angle_pos, mcb * lcb, 0.0)
-
-        lcsr = jnp.where(can_reach, ccr / (1.0 - fr), ccr)
-        lcsg = jnp.where(can_reach, ccg / (1.0 - fg), ccg)
-        lcsb = jnp.where(can_reach, ccb / (1.0 - fb), ccb)
-
-        dot_ln = nx * ldx + ny * ldy + nz * ldz
-        diffuse = jnp.maximum(dot_ln, 0.0)
-
-        srx = ldx - 2.0 * dot_ln * nx
-        sry = ldy - 2.0 * dot_ln * ny
-        srz = ldz - 2.0 * dot_ln * nz
-        inv_sr = 1.0 / jnp.sqrt(srx * srx + sry * sry + srz * srz)
-        spec_dot = jnp.maximum(
-            srx * inv_sr * vwx + sry * inv_sr * vwy + srz * inv_sr * vwz, 0.0
-        )
-        spec_f = jnp.where(has_spec, spec_dot ** spec_exp, 0.0)
-
-        op_sel = jnp.where(can_reach, combined_opacity, 1.0)
-        lf = diffuse * ci * op_sel
-        sf = ci * op_sel * spec_f
-        lvalid = (diffuse > 0.0) & can_reach
-
-        m = lvalid & valid
-        dr = dr + jnp.where(m, mcr * lcsr * lf, 0.0)
-        dg = dg + jnp.where(m, mcg * lcsg * lf, 0.0)
-        db = db + jnp.where(m, mcb * lcsb * lf, 0.0)
-        ms = m & has_spec
-        spr = spr + jnp.where(ms, lcr * sf, 0.0)
-        spg = spg + jnp.where(ms, lcg * sf, 0.0)
-        spb = spb + jnp.where(ms, lcb * sf, 0.0)
         return dr, dg, db, spr, spg, spb
 
-    dr, dg, db, spr, spg, spb = jax.lax.fori_loop(
-        0, n_lights, light_body, (zf, zf, zf, zf, zf, zf)
-    )
-    direct_out[:] = jnp.stack([dr, dg, db])
-    spec_out[:] = jnp.stack([spr, spg, spb])
+    if n_chunks == 1:
+        sums = chunk_sums(lights_ref[0:C, :], 0)
+    else:
+        # many lights (soft-shadow clouds): fori over C-sized chunks; the
+        # light pack is padded to a multiple of 8 rows (scene/device.py) so
+        # the dynamic row slice is always in bounds
+        def body(ci, acc):
+            l0 = ci * C
+            s = chunk_sums(lights_ref[pl.ds(l0, C), :], l0)
+            return tuple(a + b for a, b in zip(acc, s))
+
+        sums = jax.lax.fori_loop(0, n_chunks, body, (zf,) * 6)
+
+    direct_out[:] = jnp.stack(sums[0:3])
+    spec_out[:] = jnp.stack(sums[3:6])
 
 
 @functools.partial(
@@ -989,9 +1144,9 @@ def pallas_light_shade(
         ),
         grid=(R // ray_tile,),
         in_specs=[
-            # batched path broadcasts light columns from VMEM; the fori path
-            # reads per-light scalars, which want SMEM
-            full((L_pad, 8)) if n_lights <= MAX_UNROLL_LIGHTS else smem((L_pad, 8)),
+            # light rows live in VMEM: chunks of 8 are row-sliced (dynamic
+            # sublane offset) and broadcast against the ray lanes
+            full((L_pad, 8)),
             full(sph_pack.shape),
             full(trb_pack.shape),
             full((nb, 12, B)),

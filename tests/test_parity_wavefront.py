@@ -7,6 +7,8 @@ Cramer triangle formulation, tight enough to catch any structural error."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -25,16 +27,16 @@ def run_both(cfg):
     return oracle_img, oracle_valid, buf.as_linear(), buf.valid
 
 
-def check(cfg, atol=2e-3):
+def check(cfg, atol=2e-3, frac=0.005):
     o_img, o_valid, e_img, e_valid = run_both(cfg)
     assert o_valid.sum() > 20, "oracle should hit something"
     mismatch = o_valid != e_valid
-    assert mismatch.mean() < 0.01, f"validity mismatch on {mismatch.sum()} pixels"
+    assert mismatch.mean() < 0.005, f"validity mismatch on {mismatch.sum()} pixels"
     both = o_valid & e_valid
     diff = np.abs(o_img - e_img)[both]
     # a tiny fraction of pixels may diverge on knife-edge mask decisions
     frac_bad = (diff.max(axis=-1) > atol).mean()
-    assert frac_bad < 0.02, (
+    assert frac_bad < frac, (
         f"{frac_bad:.3%} pixels off; max diff {diff.max():.5f}, "
         f"mean {diff.mean():.6f}"
     )
@@ -67,6 +69,33 @@ def test_parity_soft_shadows():
         reflections=True, refractions=True, soft_shadows=True, **SIZE
     )
     check(cfg, atol=3e-3)
+
+
+@pytest.mark.skipif(
+    os.environ.get("PARITY_FAST") == "1",
+    reason="medium-res oracle gate skipped via PARITY_FAST",
+)
+def test_parity_medium_realistic():
+    """Medium-resolution oracle gate (VERDICT r1 item 8): 160x120 realistic,
+    <0.5% divergent pixels. The oracle is a per-pixel Python transcription,
+    so this is the slowest gate in the suite (~5 min); PARITY_FAST=1 skips
+    it for quick local loops — CI runs it."""
+    cfg = RenderConfig(
+        width=160, height=120, tile_rays=160 * 120,
+        weight_cutoff=0.0, max_nodes=512,
+        reflections=True, refractions=True,
+    )
+    check(cfg)
+
+
+def test_parity_small_interpret():
+    """The Pallas kernels themselves (interpret mode on CPU) against the
+    scalar oracle — no XLA-path intermediary."""
+    cfg = RenderConfig(
+        reflections=True, refractions=True,
+        use_pallas=True, interpret=True, **SIZE,
+    )
+    check(cfg)
 
 
 def test_parity_adaptive_refraction_budgets():
