@@ -166,6 +166,10 @@ class RenderConfig:
     # (measured neutral-to-slightly-negative on semesterbild; off by default)
     resort_secondary: bool = False
     triangle_block: int = 512  # triangles per matmul block
+    # triangle count beyond which the scene SoA stops being VMEM-resident
+    # and the cast/occlude kernels stream Morton blocks from HBM instead
+    # (~100 bytes/triangle resident; ~8 MB at the default threshold)
+    stream_triangles: int = 81920
     # fused-frame chunking: 0 = whole frame as one program (fastest);
     # N > 0 caps each launched program at N tiles. Heavy configs (AA x
     # soft-shadow clouds x hq mesh) can run many minutes in one program,

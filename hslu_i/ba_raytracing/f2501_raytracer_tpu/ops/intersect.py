@@ -248,7 +248,34 @@ def cast_rays(
 
     best_t, best_idx = _sphere_nearest(scene, o, d, backface_culling)
 
-    if use_pallas:
+    if use_pallas and scene.streaming:
+        # past the VMEM-residency ceiling: Morton blocks stream from HBM
+        # (pallas_cast_triangles_stream); spheres + big primitives stay XLA
+        from .pallas_kernels import pallas_cast_triangles_stream
+
+        o4 = jnp.concatenate([o, jnp.ones((R, 1), o.dtype)], axis=1)
+        bt, bidx = _bigtri_nearest_xla(scene, o4, d, backface_culling)
+        closer = bt < best_t
+        best_t = jnp.where(closer, bt, best_t)
+        best_idx = jnp.where(closer, S + bidx, best_idx)
+        (op, dp), _ = _pad_rays((o, d), 256)
+        tt, tidx = pallas_cast_triangles_stream(
+            scene.tri_woop,
+            scene.tri_nsq,
+            scene.tri_valid_f,
+            scene.tri_httr_f,
+            scene.tri_normal3,
+            scene.tri_aabb,
+            op,
+            dp,
+            backface_culling=backface_culling,
+            interpret=interpret,
+        )
+        tt, tidx = tt[:R], tidx[:R]
+        closer = tt < best_t
+        best_t = jnp.where(closer, tt, best_t)
+        best_idx = jnp.where(closer, S + scene.n_bigtris + tidx, best_idx)
+    elif use_pallas:
         from .pallas_kernels import pallas_cast_triangles
 
         (op, dp), _ = _pad_rays((o, d), 256)
@@ -430,7 +457,40 @@ def occlude_rays(
     """
     dec, opq, fsub = _sphere_occlusion(scene, o, d, max_distance, backface_culling)
 
-    if use_pallas:
+    if use_pallas and scene.streaming:
+        from .pallas_kernels import pallas_occlude_triangles_stream
+
+        o4 = jnp.concatenate([o, jnp.ones((o.shape[0], 1), o.dtype)], axis=1)
+        bdec, bopq, bfsub = _bigtri_occlusion_xla(
+            scene, o4, d, max_distance, backface_culling
+        )
+        dec = dec + bdec
+        opq = opq | bopq
+        fsub = fsub + bfsub
+        (op_, dp_, mp_), R = _pad_rays((o, d, max_distance), 256)
+        tdec, topq, tfsub = pallas_occlude_triangles_stream(
+            scene.tri_woop,
+            scene.tri_nsq,
+            scene.tri_valid_f,
+            scene.tri_httr_f,
+            scene.tri_normal3,
+            scene.tri_ior,
+            scene.tri_op,
+            scene.tri_met,
+            scene.tri_colr,
+            scene.tri_absn,
+            scene.tri_aabb,
+            op_,
+            dp_,
+            mp_,
+            backface_culling=backface_culling,
+            interpret=interpret,
+            trans_blocks=any(scene.block_has_trans) if scene.block_has_trans else True,
+        )
+        dec = dec + tdec[:R]
+        opq = opq | topq[:R]
+        fsub = fsub + tfsub[:R]
+    elif use_pallas:
         from .pallas_kernels import pallas_occlude_triangles
 
         (op_, dp_, mp_), R = _pad_rays((o, d, max_distance), 256)

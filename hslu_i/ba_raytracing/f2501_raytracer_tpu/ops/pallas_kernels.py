@@ -444,6 +444,329 @@ def pallas_cast_triangles(
 
 
 # ---------------------------------------------------------------------------
+# Streaming variants: scenes past the VMEM-residency ceiling (~80k
+# triangles) stream their Morton blocks from HBM instead. The grid is 2-D
+# (block OUTER, ray tile inner): each block's SoA planes are DMA'd exactly
+# once (the window index only moves when `b` does, and Mosaic double-buffers
+# the next block while the current one computes), while per-ray running
+# state for the WHOLE wavefront persists in VMEM scratch across grid steps.
+# Outputs are written on the last block. Spheres and the big-primitive pack
+# stay on the XLA path (they are small); these kernels cover Morton slots
+# only. Per-block compute gates still skip the math (not the DMA) when no
+# ray's segment crosses the block AABB. Parity: same per-block math and
+# same front-to-back strict-min combine as the resident kernels.
+# ---------------------------------------------------------------------------
+
+
+def _cast_stream_kernel(
+    o4_ref, d_ref, op_ref, dp_ref, woop_ref, nsq_ref, valid_ref, httr_ref,
+    tnorm_ref, aabb_ref, t_out, idx_out, bt_scr, bi_scr,
+    *, nb, block_size, backface_culling, use_aabb, ray_tile,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    o4 = o4_ref[:]
+    d = d_ref[:]
+    RT = o4.shape[0]
+
+    # scratch rows are lane-major (n_rt, RT) — a (R, 1) scratch would pad
+    # its lane dim to 128 in the (8,128) tiled layout, 128x the VMEM —
+    # so the (RT, 1) running minima relayout at the read/write boundary
+    @pl.when(b == 0)
+    def _init():
+        bt_scr[pl.ds(i, 1), :] = jnp.full((1, RT), INF, jnp.float32)
+        bi_scr[pl.ds(i, 1), :] = jnp.full((1, RT), BIG_IDX, jnp.int32)
+
+    carry = (
+        bt_scr[pl.ds(i, 1), :].reshape(RT, 1),
+        bi_scr[pl.ds(i, 1), :].reshape(RT, 1),
+    )
+
+    def compute(c):
+        best_t, best_idx = c
+        woop = woop_ref[0]
+        t, valid = _tri_validity(woop, nsq_ref[0, 0], valid_ref[0, 0], o4, d)
+        if backface_culling:
+            cos_dn = _cos_planes(d, tnorm_ref[0])
+            valid &= (cos_dn < 0.75) | (httr_ref[0, 0][None, :] != 0.0)
+        t = jnp.where(valid, t, INF)
+        tmin = jnp.min(t, axis=1, keepdims=True)
+        cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        idx = jnp.min(
+            jnp.where(t == tmin, cols + b * block_size, jnp.int32(BIG_IDX)),
+            axis=1,
+            keepdims=True,
+        )
+        closer = tmin < best_t
+        return jnp.where(closer, tmin, best_t), jnp.where(closer, idx, best_idx)
+
+    if use_aabb:
+        sox, soy, soz = op_ref[0], op_ref[1], op_ref[2]
+        dx, dy, dz = dp_ref[0], dp_ref[1], dp_ref[2]
+        gate = _gate_flat(
+            aabb_ref, b, sox, soy, soz, 1.0 / dx, 1.0 / dy, 1.0 / dz,
+            carry[0][:, 0],
+        )
+        carry = jax.lax.cond(jnp.any(gate), compute, lambda c: c, carry)
+    else:
+        carry = compute(carry)
+
+    bt_scr[pl.ds(i, 1), :] = carry[0].reshape(1, RT)
+    bi_scr[pl.ds(i, 1), :] = carry[1].reshape(1, RT)
+
+    @pl.when(b == nb - 1)
+    def _fin():
+        t_out[:] = carry[0]
+        idx_out[:] = carry[1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("backface_culling", "ray_tile", "use_aabb", "interpret"),
+)
+def pallas_cast_triangles_stream(
+    tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3, tri_aabb,
+    o, d, backface_culling=False, ray_tile=256, use_aabb=True, interpret=False,
+):
+    """Nearest Morton-slot hit with HBM-streamed blocks: (t (R,),
+    local_slot_idx (R,)). The caller folds spheres and big primitives."""
+    R = o.shape[0]
+    nb, _, B = tri_woop.shape
+    assert R % ray_tile == 0, (R, ray_tile)
+    o4 = jnp.concatenate([o, jnp.ones((R, 1), o.dtype)], axis=1)
+
+    def ray(s):
+        return pl.BlockSpec(s, lambda b, i: (i, 0), memory_space=pltpu.VMEM)
+
+    def rayt(s):
+        return pl.BlockSpec(s, lambda b, i: (0, i), memory_space=pltpu.VMEM)
+
+    def blk(s):
+        return pl.BlockSpec(
+            (1,) + s, lambda b, i: (b,) + tuple(0 for _ in s),
+            memory_space=pltpu.VMEM,
+        )
+
+    t_out, idx_out = pl.pallas_call(
+        functools.partial(
+            _cast_stream_kernel,
+            nb=nb,
+            block_size=B,
+            backface_culling=backface_culling,
+            use_aabb=use_aabb,
+            ray_tile=ray_tile,
+        ),
+        grid=(nb, R // ray_tile),
+        in_specs=[
+            ray((ray_tile, 4)),
+            ray((ray_tile, 3)),
+            rayt((3, ray_tile)),
+            rayt((3, ray_tile)),
+            blk((12, B)),
+            blk((1, B)),
+            blk((1, B)),
+            blk((1, B)),
+            blk((3, B)),
+            pl.BlockSpec(
+                tri_aabb.shape, lambda b, i: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((ray_tile, 1), lambda b, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 1), lambda b, i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R // ray_tile, ray_tile), jnp.float32),
+            pltpu.VMEM((R // ray_tile, ray_tile), jnp.int32),
+        ],
+        interpret=interpret,
+    )(o4, d, o.T, d.T, tri_woop, tri_nsq[:, None], tri_valid[:, None],
+      tri_httr[:, None], tri_normal3, tri_aabb)
+    return t_out[:, 0], idx_out[:, 0]
+
+
+def _occl_stream_kernel(
+    o_ref, d_ref, maxd_ref, woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref,
+    ior_ref, op_ref, met_ref, colr_ref, absn_ref, aabb_ref,
+    dec_out, opq_out, fsub_out,
+    dec_scr, opq_scr, fr_scr, fg_scr, fb_scr,
+    *, nb, backface_culling, use_aabb, trans_blocks, ray_tile,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    sox, soy, soz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    maxd = maxd_ref[0]
+    RT = sox.shape[0]
+    zrow = jnp.zeros((1, RT), jnp.float32)
+
+    @pl.when(b == 0)
+    def _init():
+        dec_scr[pl.ds(i, 1), :] = zrow
+        opq_scr[pl.ds(i, 1), :] = zrow
+        fr_scr[pl.ds(i, 1), :] = zrow
+        fg_scr[pl.ds(i, 1), :] = zrow
+        fb_scr[pl.ds(i, 1), :] = zrow
+
+    carry = (
+        dec_scr[pl.ds(i, 1), :][0],
+        opq_scr[pl.ds(i, 1), :][0],
+        fr_scr[pl.ds(i, 1), :][0],
+        fg_scr[pl.ds(i, 1), :][0],
+        fb_scr[pl.ds(i, 1), :][0],
+    )
+
+    def compute(c, trans_block):
+        dec, opq, fr, fg, fb = c
+        woop = woop_ref[0]
+        t, valid = _tri_validity_comp(
+            woop, nsq_ref[0, 0], valid_ref[0, 0], sox, soy, soz, dx, dy, dz
+        )
+        httr = httr_ref[0, 0][None, :] != 0.0
+        if backface_culling or trans_block:
+            cos_nv = -_cos_planes_comp(dx, dy, dz, tnorm_ref[0])
+        if backface_culling:
+            valid &= (-cos_nv < 0.75) | httr
+        hit = valid & (t <= maxd[:, None])
+        if trans_block:
+            ior = ior_ref[0, 0][None, :]
+            met = met_ref[0, 0][None, :]
+            col_r = colr_ref[0, 0][None, :]
+            opv = op_ref[0, 0][None, :]
+            cos_theta = jnp.abs(cos_nv)
+            is_inside = cos_nv < 0.0
+            eta_t = jnp.where(is_inside, ior, 1.0 / ior)
+            sin2_t = eta_t * eta_t * (1.0 - cos_theta * cos_theta)
+            is_refl = met > 0.0
+            is_tir = (httr & is_inside & (sin2_t > 1.0)) | is_refl
+            f0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+            f0r = f0 + (col_r - f0) * met
+            omc = 1.0 - cos_theta
+            fres_r = f0r + (1.0 - f0r) * omc * omc * omc * omc * omc
+            f_r = jnp.where(is_tir, jnp.where(is_refl, met, 1.0), fres_r)
+            t_red = jnp.where(httr, 1.0 - f_r, 0.0)
+            io = jnp.where(httr, opv, 0.0) * t_red
+        else:
+            io = jnp.float32(0.0)
+        hit_f = jnp.where(hit, 1.0, 0.0)
+        absn = absn_ref[0]
+        return (
+            dec + jnp.sum(hit_f * (1.0 - io), axis=1),
+            jnp.maximum(opq, jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=1)),
+            fr + jnp.sum(hit_f * absn[0][None, :], axis=1),
+            fg + jnp.sum(hit_f * absn[1][None, :], axis=1),
+            fb + jnp.sum(hit_f * absn[2][None, :], axis=1),
+        )
+
+    # mixed-transparency scenes: streamed blocks can't specialize the
+    # Fresnel branch per block (one traced body serves every b), so it runs
+    # whenever ANY block is transmissive
+    if use_aabb:
+        gate = _gate_flat(
+            aabb_ref, b, sox, soy, soz, 1.0 / dx, 1.0 / dy, 1.0 / dz, maxd
+        )
+        alive = gate & (maxd > 0.0) & (carry[1] < 1.0)
+        carry = jax.lax.cond(
+            jnp.any(alive), lambda c: compute(c, trans_blocks), lambda c: c, carry
+        )
+    else:
+        carry = compute(carry, trans_blocks)
+
+    dec_scr[pl.ds(i, 1), :] = carry[0][None, :]
+    opq_scr[pl.ds(i, 1), :] = carry[1][None, :]
+    fr_scr[pl.ds(i, 1), :] = carry[2][None, :]
+    fg_scr[pl.ds(i, 1), :] = carry[3][None, :]
+    fb_scr[pl.ds(i, 1), :] = carry[4][None, :]
+
+    @pl.when(b == nb - 1)
+    def _fin():
+        dec_out[:] = carry[0][None, :]
+        opq_out[:] = carry[1][None, :]
+        fsub_out[:] = jnp.stack([carry[2], carry[3], carry[4]])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "backface_culling", "ray_tile", "use_aabb", "interpret", "trans_blocks",
+    ),
+)
+def pallas_occlude_triangles_stream(
+    tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
+    tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb,
+    o, d, max_distance, backface_culling=False, ray_tile=256, use_aabb=True,
+    interpret=False, trans_blocks=True,
+):
+    """Shadow accumulators over HBM-streamed Morton blocks: returns
+    (opacity_decrement_sum (R,), any_opaque (R,) bool, filter_sub (R,3)).
+    The caller folds spheres and big primitives."""
+    R = o.shape[0]
+    nb, _, B = tri_woop.shape
+    assert R % ray_tile == 0, (R, ray_tile)
+    n_rt = R // ray_tile
+
+    def rayt(s):
+        return pl.BlockSpec(s, lambda b, i: (0, i), memory_space=pltpu.VMEM)
+
+    def blk(s):
+        return pl.BlockSpec(
+            (1,) + s, lambda b, i: (b,) + tuple(0 for _ in s),
+            memory_space=pltpu.VMEM,
+        )
+
+    def scr():
+        return pltpu.VMEM((n_rt, ray_tile), jnp.float32)
+
+    dec, opq, fsub = pl.pallas_call(
+        functools.partial(
+            _occl_stream_kernel,
+            nb=nb,
+            backface_culling=backface_culling,
+            use_aabb=use_aabb,
+            trans_blocks=trans_blocks,
+            ray_tile=ray_tile,
+        ),
+        grid=(nb, n_rt),
+        in_specs=[
+            rayt((3, ray_tile)),
+            rayt((3, ray_tile)),
+            rayt((1, ray_tile)),
+            blk((12, B)),
+            blk((1, B)),
+            blk((1, B)),
+            blk((1, B)),
+            blk((3, B)),
+            blk((1, B)),
+            blk((1, B)),
+            blk((1, B)),
+            blk((1, B)),
+            blk((3, B)),
+            pl.BlockSpec(
+                tri_aabb.shape, lambda b, i: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=[rayt((1, ray_tile)), rayt((1, ray_tile)), rayt((3, ray_tile))],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((3, R), jnp.float32),
+        ],
+        scratch_shapes=[scr(), scr(), scr(), scr(), scr()],
+        interpret=interpret,
+    )(
+        o.T, d.T, max_distance[None, :], tri_woop, tri_nsq[:, None],
+        tri_valid[:, None], tri_httr[:, None], tri_normal3,
+        tri_ior[:, None], tri_op[:, None], tri_met[:, None], tri_colr[:, None],
+        tri_absn, tri_aabb,
+    )
+    return dec[0], opq[0] > 0.0, fsub.T
+
+
+# ---------------------------------------------------------------------------
 # Shadow occlusion (component-planar): shared by the standalone occlusion
 # kernel and the fused direct-lighting kernel.
 # ---------------------------------------------------------------------------

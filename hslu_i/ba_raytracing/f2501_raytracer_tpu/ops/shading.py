@@ -74,7 +74,7 @@ def calculate_lighting(
     # ambient: color (1,1,1) value-maximized is itself; intensity 0.08
     ambient = jnp.where(valid[:, None], material_color, 0.0) * jnp.float32(0.08)
 
-    if cfg.use_pallas:
+    if cfg.use_pallas and not scene.streaming:
         from .intersect import _pad_rays
         from .pallas_kernels import pallas_light_shade
 

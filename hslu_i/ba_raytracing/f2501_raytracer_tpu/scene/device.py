@@ -158,6 +158,9 @@ class DeviceScene:
     # which blocks contain transmissive materials (static: lets the shadow
     # kernel skip the Fresnel math on all-opaque blocks)
     block_has_trans: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    # scene exceeds the VMEM-residency budget: cast/occlude use the
+    # HBM-streaming kernels and lighting routes through the occlusion path
+    streaming: bool = dataclasses.field(default=False, metadata=dict(static=True))
     # superblock partition (static): sizes of consecutive block groups under
     # each tri_saabb row; sums to the block count
     sb_sizes: tuple = dataclasses.field(default=(), metadata=dict(static=True))
@@ -475,8 +478,16 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         n_bigtris=P_pad,
         bigtri_trans=bool(mat_has_trans[S_pad : S_pad + P_pad].any()),
         block_has_trans=tuple(
-            bool(mat_has_trans[S_pad + b * B : S_pad + (b + 1) * B].any())
+            bool(
+                mat_has_trans[
+                    S_pad + P_pad + b * B : S_pad + P_pad + (b + 1) * B
+                ].any()
+            )
             for b in range(nb)
         ),
         sb_sizes=tuple(sb_sizes),
+        # past ~80k triangles the resident SoA (~100 B/tri) outgrows VMEM;
+        # switch to the HBM-streaming kernels (ref parity: the reference's
+        # linear scan has no scene-size ceiling, raytracer.rs:180)
+        streaming=T_pad > int(cfg.stream_triangles),
     )

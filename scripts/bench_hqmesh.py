@@ -7,7 +7,9 @@ import jax.numpy as jnp
 import numpy as np
 from hslu_i.ba_raytracing.f2501_raytracer_tpu import RenderConfig, build_device_scene
 from hslu_i.ba_raytracing.f2501_raytracer_tpu.models import build
-from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import pixel_scene_coords
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import (
+    pixel_scene_coords, tile_major_order,
+)
 from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays_tiled
 from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
 
@@ -21,7 +23,9 @@ ds = build_device_scene(scene, cfg)
 print("triangles:", ds.n_triangles, flush=True)
 n_pix = W*H
 px, py = np.meshgrid(np.arange(W), np.arange(H))
-coords = pixel_scene_coords(cfg, px.reshape(-1), py.reshape(-1))
+order = tile_major_order(W, H)
+px, py = px.reshape(-1)[order], py.reshape(-1)[order]
+coords = pixel_scene_coords(cfg, px, py)
 dirs = (coords - np.asarray(cfg.camera.render_ray_focus, np.float32)).astype(np.float32)
 tile = cfg.tile_rays
 n_tiles = (n_pix + tile - 1)//tile
@@ -29,11 +33,18 @@ pad = n_tiles*tile - n_pix
 o = np.concatenate([coords, np.zeros((pad,3),np.float32)]).reshape(n_tiles, tile, 3)
 d = np.concatenate([dirs, np.tile(np.float32([0,0,1]),(pad,1))]).reshape(n_tiles, tile, 3)
 o, d = jnp.asarray(o), jnp.asarray(d)
-t0=time.monotonic(); out = trace_rays_tiled(ds, cfg, o, d); jax.block_until_ready(out)
+def frame():
+    out = trace_rays_tiled(ds, cfg, o, d)
+    jax.block_until_ready(out)
+    np.asarray(out[0])[0, 0]  # relay: force real completion
+    return out
+t0=time.monotonic(); out = frame()
 print("compile+first:", time.monotonic()-t0, flush=True)
-best=1e9
-for _ in range(2):
-    t0=time.monotonic(); out = trace_rays_tiled(ds, cfg, o, d); jax.block_until_ready(out)
-    best=min(best, time.monotonic()-t0)
+ts=[]
+for _ in range(3):
+    t0=time.monotonic(); frame()
+    ts.append(time.monotonic()-t0)
+print("repeats (ms):", [f"{t*1e3:.0f}" for t in ts], flush=True)
+best=min(ts)
 print(json.dumps({"metric": "1080p semesterbild realistic, 14.5k-face mesh",
                   "value": round(best*1e3,1), "unit": "ms"}))
