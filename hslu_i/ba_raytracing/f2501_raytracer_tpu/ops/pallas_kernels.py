@@ -1247,21 +1247,17 @@ def _tri_occl_lights(
     return carries
 
 
-def _light_shade_kernel(
+def _light_sums(
     lights_ref, sph_ref, trb_ref,
     woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref, met_ref,
     colr_ref, absn_ref, aabb_ref, saabb_ref,
-    pt_ref, nrm_ref, view_ref, col_ref, shin_ref, valid_r_ref,
-    direct_out, spec_out,
+    ptx, pty, ptz, nx, ny, nz, vwx, vwy, vwz, mcr, mcg, mcb, shin, valid,
     *, n_lights, nb, eps_dist, backface_culling, use_aabb, bigtri_trans,
     block_has_trans, sb_sizes,
 ):
-    ptx, pty, ptz = pt_ref[0], pt_ref[1], pt_ref[2]
-    nx, ny, nz = nrm_ref[0], nrm_ref[1], nrm_ref[2]
-    vwx, vwy, vwz = view_ref[0], view_ref[1], view_ref[2]
-    mcr, mcg, mcb = col_ref[0], col_ref[1], col_ref[2]
-    shin = shin_ref[0]
-    valid = valid_r_ref[0] != 0.0  # (RT,)
+    """Direct + specular light sums for one ray tile (flat lane fields):
+    the shared shading core of `_light_shade_kernel` and the fused
+    shade+eval kernel. Returns (dr, dg, db, spr, spg, spb), each (RT,)."""
     RT = ptx.shape[0]
 
     has_spec = shin > 0.0
@@ -1405,20 +1401,377 @@ def _light_shade_kernel(
         return dr, dg, db, spr, spg, spb
 
     if n_chunks == 1:
-        sums = chunk_sums(lights_ref[0:C, :], 0)
-    else:
-        # many lights (soft-shadow clouds): fori over C-sized chunks; the
-        # light pack is padded to a multiple of 8 rows (scene/device.py) so
-        # the dynamic row slice is always in bounds
-        def body(ci, acc):
-            l0 = ci * C
-            s = chunk_sums(lights_ref[pl.ds(l0, C), :], l0)
-            return tuple(a + b for a, b in zip(acc, s))
+        return chunk_sums(lights_ref[0:C, :], 0)
+    # many lights (soft-shadow clouds): fori over C-sized chunks; the
+    # light pack is padded to a multiple of 8 rows (scene/device.py) so
+    # the dynamic row slice is always in bounds
+    def body(ci, acc):
+        l0 = ci * C
+        s = chunk_sums(lights_ref[pl.ds(l0, C), :], l0)
+        return tuple(a + b for a, b in zip(acc, s))
 
-        sums = jax.lax.fori_loop(0, n_chunks, body, (zf,) * 6)
+    return jax.lax.fori_loop(0, n_chunks, body, (zf,) * 6)
 
+
+def _light_shade_kernel(
+    lights_ref, sph_ref, trb_ref,
+    woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref, met_ref,
+    colr_ref, absn_ref, aabb_ref, saabb_ref,
+    pt_ref, nrm_ref, view_ref, col_ref, shin_ref, valid_r_ref,
+    direct_out, spec_out,
+    *, n_lights, nb, eps_dist, backface_culling, use_aabb, bigtri_trans,
+    block_has_trans, sb_sizes,
+):
+    sums = _light_sums(
+        lights_ref, sph_ref, trb_ref,
+        woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref,
+        met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
+        pt_ref[0], pt_ref[1], pt_ref[2],
+        nrm_ref[0], nrm_ref[1], nrm_ref[2],
+        view_ref[0], view_ref[1], view_ref[2],
+        col_ref[0], col_ref[1], col_ref[2],
+        shin_ref[0], valid_r_ref[0] != 0.0,
+        n_lights=n_lights, nb=nb, eps_dist=eps_dist,
+        backface_culling=backface_culling, use_aabb=use_aabb,
+        bigtri_trans=bigtri_trans, block_has_trans=block_has_trans,
+        sb_sizes=sb_sizes,
+    )
     direct_out[:] = jnp.stack(sums[0:3])
     spec_out[:] = jnp.stack(sums[3:6])
+
+
+def _shade_eval_kernel(
+    lights_ref, sph_ref, trb_ref,
+    woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref, met_ref,
+    colr_ref, absn_ref, aabb_ref, saabb_ref,
+    pt_ref, nrm_ref, view_ref, col_ref, shin_ref, valid_r_ref,
+    t_ref, w_ref, rior_ref, budget_ref, frefl_ref,
+    httr_r_ref, met_r_ref, hior_r_ref, opac_r_ref, boost_r_ref,
+    contrib_out,
+    rfl_o_out, rfl_d_out, rfl_w_out, rfl_b_out, rfl_m_out,
+    rfr_o_out, rfr_d_out, rfr_w_out, rfr_b_out, rfr_i_out, rfr_m_out,
+    *, n_lights, nb, eps_dist, backface_culling, use_aabb, bigtri_trans,
+    block_has_trans, sb_sizes, reflections, refractions, refl_max, refr_max,
+    weight_cutoff, air,
+):
+    """Fused shading + shading-tree node evaluation: the light scan plus
+    everything `ops/trace.py:_eval_node` computes after it — distance
+    attenuation, the transmissive combine rule, and the reflection /
+    refraction child entries (Fresnel weights, directions, adaptive depth
+    budgets, spawn masks; ref raytracer_renderer.rs:279-729) — in ONE
+    kernel, eliminating the per-iteration XLA fusion glue of the wavefront
+    loop. Per-lane scalar semantics identical to the XLA path (same
+    formulas; non-packet mode only)."""
+    ptx, pty, ptz = pt_ref[0], pt_ref[1], pt_ref[2]
+    nx, ny, nz = nrm_ref[0], nrm_ref[1], nrm_ref[2]
+    vwx, vwy, vwz = view_ref[0], view_ref[1], view_ref[2]
+    mcr, mcg, mcb = col_ref[0], col_ref[1], col_ref[2]
+    shin = shin_ref[0]
+    hval = valid_r_ref[0] != 0.0
+    RT = ptx.shape[0]
+
+    dr, dg, db, spr, spg, spb = _light_sums(
+        lights_ref, sph_ref, trb_ref,
+        woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref,
+        met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
+        ptx, pty, ptz, nx, ny, nz, vwx, vwy, vwz, mcr, mcg, mcb, shin, hval,
+        n_lights=n_lights, nb=nb, eps_dist=eps_dist,
+        backface_culling=backface_culling, use_aabb=use_aabb,
+        bigtri_trans=bigtri_trans, block_has_trans=block_has_trans,
+        sb_sizes=sb_sizes,
+    )
+
+    t = t_ref[0]
+    wr, wg, wb = w_ref[0], w_ref[1], w_ref[2]
+    rior = rior_ref[0]
+    budget = budget_ref[0]
+    from_refl = frefl_ref[0] != 0.0
+    httr_r = httr_r_ref[0] != 0.0
+    met_r = met_r_ref[0]
+    hior = hior_r_ref[0]
+    opac = opac_r_ref[0]
+    boost = boost_r_ref[0]
+    dx, dy, dz = vwx, vwy, vwz  # the kernel's "view" IS d (shading.py quirk)
+    zf = jnp.zeros((RT,), jnp.float32)
+    zi = jnp.zeros((RT,), jnp.int32)
+
+    # ambient folds into direct (shading.py calculate_lighting)
+    amb = jnp.where(hval, 0.08, 0.0)
+    dirr = amb * mcr + dr
+    dirg = amb * mcg + dg
+    dirb = amb * mcb + db
+
+    # node contribution (trace.py:74-84; dist att ref rs:266-277)
+    ta = jnp.abs(t)
+    dist_f = jnp.clip(1.0 / (1.0 + ta + 0.1 * ta * ta), 0.0, 1.0)
+    dist_f = jnp.where(hval, dist_f, 0.0)
+    wer = wr * jnp.where(from_refl, dist_f, 1.0)
+    weg = wg * jnp.where(from_refl, dist_f, 1.0)
+    web = wb * jnp.where(from_refl, dist_f, 1.0)
+    ncr = (jnp.where(httr_r, 0.0, dirr) + spr) * dist_f
+    ncg = (jnp.where(httr_r, 0.0, dirg) + spg) * dist_f
+    ncb = (jnp.where(httr_r, 0.0, dirb) + spb) * dist_f
+    contrib_out[:] = jnp.stack([
+        jnp.where(hval, wer * ncr, 0.0),
+        jnp.where(hval, weg * ncg, 0.0),
+        jnp.where(hval, web * ncb, 0.0),
+    ])
+
+    cos_theta = dx * nx + dy * ny + dz * nz
+
+    def fresnel(inx, iny, inz, vx, vy, vz, other_ior):
+        """compute_fresnel (shading.py:37-58; ref material.rs:467-525):
+        returns per-channel reflectance F."""
+        ndv = inx * vx + iny * vy + inz * vz
+        cos_f = jnp.abs(ndv)
+        is_in = ndv < 0.0
+        eta_t = jnp.where(is_in, hior / other_ior, other_ior / hior)
+        sin2 = eta_t * eta_t * (1.0 - cos_f * cos_f)
+        is_tir = (httr_r & is_in & (sin2 > 1.0)) | (met_r > 0.0)
+        f0 = ((other_ior - hior) / (other_ior + hior)) ** 2
+        omc = 1.0 - cos_f
+        omc5 = omc * omc * omc * omc * omc
+        refl_amt = jnp.where(met_r > 0.0, met_r, 1.0)
+
+        def chan(mc):
+            f0c = f0 + (mc - f0) * met_r
+            fres = f0c + (1.0 - f0c) * omc5
+            f = jnp.where(is_tir, refl_amt, fres)
+            return jnp.where(httr_r, f, met_r)
+
+        return chan(mcr), chan(mcg), chan(mcb)
+
+    # ---- reflection child (trace.py:100-145; ref rs:526-729) ----
+    if reflections:
+        is_inside = cos_theta < 0.0
+        inx = jnp.where(is_inside, -nx, nx)
+        iny = jnp.where(is_inside, -ny, ny)
+        inz = jnp.where(is_inside, -nz, nz)
+        new_ior = jnp.where(is_inside, hior, air)
+        eta = jnp.where(is_inside, new_ior / rior, rior / new_ior)
+        cos_i = jnp.abs(cos_theta)
+        sin2_t = eta * eta * (1.0 - cos_i * cos_i)
+        tir = sin2_t >= 1.0
+        reflective = (met_r > 0.0) | (httr_r & tir)
+        c2 = 2.0 * cos_theta
+        rrx, rry, rrz = dx - c2 * nx, dy - c2 * ny, dz - c2 * nz
+        inv_mag = jnp.reciprocal(jnp.sqrt(rrx * rrx + rry * rry + rrz * rrz))
+        rdx, rdy, rdz = rrx * inv_mag, rry * inv_mag, rrz * inv_mag
+        # compute_fresnel(inormal, -d, ...) (trace.py reflection child)
+        Fr, Fg, Fb = fresnel(inx, iny, inz, -dx, -dy, -dz, rior)
+        child_b = jnp.where(
+            budget < 0, jnp.int32(refl_max), jnp.maximum(budget - 1, 0)
+        )
+        rwr, rwg, rwb = wer * Fr, weg * Fg, web * Fb
+        mask = hval & reflective & (child_b > 0)
+        if weight_cutoff > 0.0:
+            mask &= jnp.maximum(rwr, jnp.maximum(rwg, rwb)) > weight_cutoff
+        rfl_o_out[:] = jnp.stack([
+            ptx + rdx * eps_dist, pty + rdy * eps_dist, ptz + rdz * eps_dist
+        ])
+        rfl_d_out[:] = jnp.stack([rdx, rdy, rdz])
+        rfl_w_out[:] = jnp.stack([rwr, rwg, rwb])
+        rfl_b_out[:] = child_b[None, :]
+        rfl_m_out[:] = jnp.where(mask, 1.0, 0.0)[None, :]
+    else:
+        rfl_o_out[:] = jnp.stack([zf, zf, zf])
+        rfl_d_out[:] = jnp.stack([zf, zf, zf])
+        rfl_w_out[:] = jnp.stack([zf, zf, zf])
+        rfl_b_out[:] = zi[None, :]
+        rfl_m_out[:] = zf[None, :]
+
+    # ---- refraction child (trace.py:147-198; ref rs:279-524) ----
+    if refractions:
+        is_in2 = cos_theta <= 0.0
+        inx2 = jnp.where(is_in2, -nx, nx)
+        iny2 = jnp.where(is_in2, -ny, ny)
+        inz2 = jnp.where(is_in2, -nz, nz)
+        new_ior2 = jnp.where(is_in2, hior, air)
+        eta2 = jnp.where(is_in2, new_ior2 / rior, rior / new_ior2)
+        inv_eta = 1.0 / eta2
+        # view_dir = d here (trace.py:155-157)
+        Fr2, Fg2, Fb2 = fresnel(inx2, iny2, inz2, dx, dy, dz, inv_eta)
+        Tr, Tg, Tb = 1.0 - Fr2, 1.0 - Fg2, 1.0 - Fb2
+        # refracted(d, -inormal, inv_eta) (vecmath.py:42-54)
+        mnx, mny, mnz = -inx2, -iny2, -inz2
+        ndi = mnx * dx + mny * dy + mnz * dz
+        k = 1.0 - inv_eta * inv_eta * (1.0 - ndi * ndi)
+        k_pos = k >= 0.0
+        coef = inv_eta * ndi + jnp.sqrt(jnp.maximum(k, 0.0))
+        qx = jnp.where(k_pos, dx * inv_eta - coef * mnx, 0.0)
+        qy = jnp.where(k_pos, dy * inv_eta - coef * mny, 0.0)
+        qz = jnp.where(k_pos, dz * inv_eta - coef * mnz, 0.0)
+        inv_mag2 = jnp.reciprocal(jnp.sqrt(qx * qx + qy * qy + qz * qz))
+        tdx = jnp.where(k_pos, qx * inv_mag2, 0.0)
+        tdy = jnp.where(k_pos, qy * inv_mag2, 0.0)
+        tdz = jnp.where(k_pos, qz * inv_mag2, 0.0)
+        op = jnp.where(httr_r, opac, 0.0)
+        step = jnp.where(op < 0.5, 2, 1).astype(jnp.int32)
+        divisor = jnp.where(
+            op <= 0.3, 3, jnp.where(op < 0.5, 2, 1)
+        ).astype(jnp.int32)
+        child_b2 = jnp.where(
+            budget < 0,
+            jnp.int32(refr_max) // divisor,
+            jnp.maximum(budget - step, 0),
+        )
+        boost_f = jnp.where(httr_r, boost, 0.0) + 1.0
+        twr = wer * Tr * boost_f
+        twg = weg * Tg * boost_f
+        twb = web * Tb * boost_f
+        mask2 = hval & httr_r & (child_b2 > 0) & k_pos
+        if weight_cutoff > 0.0:
+            mask2 &= jnp.maximum(twr, jnp.maximum(twg, twb)) > weight_cutoff
+        rfr_o_out[:] = jnp.stack([
+            ptx + tdx * eps_dist, pty + tdy * eps_dist, ptz + tdz * eps_dist
+        ])
+        rfr_d_out[:] = jnp.stack([tdx, tdy, tdz])
+        rfr_w_out[:] = jnp.stack([twr, twg, twb])
+        rfr_b_out[:] = child_b2[None, :]
+        rfr_i_out[:] = new_ior2[None, :]
+        rfr_m_out[:] = jnp.where(mask2, 1.0, 0.0)[None, :]
+    else:
+        rfr_o_out[:] = jnp.stack([zf, zf, zf])
+        rfr_d_out[:] = jnp.stack([zf, zf, zf])
+        rfr_w_out[:] = jnp.stack([zf, zf, zf])
+        rfr_b_out[:] = zi[None, :]
+        rfr_i_out[:] = jnp.full((1, RT), 1.0, jnp.float32)
+        rfr_m_out[:] = zf[None, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_lights", "eps_dist", "backface_culling", "ray_tile", "use_aabb",
+        "interpret", "bigtri_trans", "block_has_trans", "sb_sizes",
+        "reflections", "refractions", "refl_max", "refr_max", "weight_cutoff",
+        "air",
+    ),
+)
+def pallas_shade_eval(
+    light_pack, sph_pack, trb_pack,
+    tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
+    tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb, tri_saabb,
+    point, normal, view, color, shininess, valid,
+    t, w, rior, budget, from_refl, h_httr, h_met, h_ior, h_opac, h_boost,
+    n_lights, eps_dist, backface_culling=False, ray_tile=256, use_aabb=True,
+    interpret=False, bigtri_trans=True, block_has_trans=(), sb_sizes=(),
+    reflections=True, refractions=True, refl_max=5, refr_max=10,
+    weight_cutoff=0.0, air=1.000293,
+):
+    """Fused lighting + node evaluation for R rays (see _shade_eval_kernel).
+
+    Returns (contrib (R,3),
+             refl: (o, d, w (R,3); budget (R,) i32; mask (R,) bool),
+             refr: (o, d, w (R,3); budget (R,) i32; ior (R,); mask (R,))).
+    """
+    R = point.shape[0]
+    nb, _, B = tri_woop.shape
+    assert R % ray_tile == 0, (R, ray_tile)
+    L_pad = light_pack.shape[0]
+
+    def full(s):
+        return pl.BlockSpec(s, lambda i: tuple(0 for _ in s), memory_space=pltpu.VMEM)
+
+    def smem(s):
+        return pl.BlockSpec(s, lambda i: tuple(0 for _ in s), memory_space=pltpu.SMEM)
+
+    def rayt(s):
+        return pl.BlockSpec(s, lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _shade_eval_kernel,
+            n_lights=n_lights,
+            nb=nb,
+            eps_dist=eps_dist,
+            backface_culling=backface_culling,
+            use_aabb=use_aabb,
+            bigtri_trans=bigtri_trans,
+            block_has_trans=block_has_trans,
+            sb_sizes=sb_sizes,
+            reflections=reflections,
+            refractions=refractions,
+            refl_max=refl_max,
+            refr_max=refr_max,
+            weight_cutoff=weight_cutoff,
+            air=air,
+        ),
+        grid=(R // ray_tile,),
+        in_specs=[
+            full((L_pad, 8)),
+            full(sph_pack.shape),
+            full(trb_pack.shape),
+            full((nb, 12, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 3, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 1, B)),
+            full((nb, 3, B)),
+            smem(tri_aabb.shape),
+            smem(tri_saabb.shape),
+            rayt((3, ray_tile)),
+            rayt((3, ray_tile)),
+            rayt((3, ray_tile)),
+            rayt((3, ray_tile)),
+            rayt((1, ray_tile)),
+            rayt((1, ray_tile)),
+            rayt((1, ray_tile)),
+            rayt((3, ray_tile)),
+            rayt((1, ray_tile)),
+            rayt((1, ray_tile)),
+            rayt((1, ray_tile)),
+            rayt((1, ray_tile)),
+            rayt((1, ray_tile)),
+            rayt((1, ray_tile)),
+            rayt((1, ray_tile)),
+            rayt((1, ray_tile)),
+        ],
+        out_specs=[
+            rayt((3, ray_tile)),
+            rayt((3, ray_tile)), rayt((3, ray_tile)), rayt((3, ray_tile)),
+            rayt((1, ray_tile)), rayt((1, ray_tile)),
+            rayt((3, ray_tile)), rayt((3, ray_tile)), rayt((3, ray_tile)),
+            rayt((1, ray_tile)), rayt((1, ray_tile)), rayt((1, ray_tile)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, R), jnp.float32),
+            jax.ShapeDtypeStruct((3, R), jnp.float32),
+            jax.ShapeDtypeStruct((3, R), jnp.float32),
+            jax.ShapeDtypeStruct((3, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((3, R), jnp.float32),
+            jax.ShapeDtypeStruct((3, R), jnp.float32),
+            jax.ShapeDtypeStruct((3, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        light_pack, sph_pack, trb_pack,
+        tri_woop, tri_nsq[:, None], tri_valid[:, None], tri_httr[:, None],
+        tri_normal3, tri_ior[:, None], tri_op[:, None], tri_met[:, None],
+        tri_colr[:, None], tri_absn, tri_aabb, tri_saabb,
+        point.T, normal.T, view.T, color.T, shininess[None, :], valid[None, :],
+        t[None, :], w.T, rior[None, :], budget[None, :], from_refl[None, :],
+        h_httr[None, :], h_met[None, :], h_ior[None, :], h_opac[None, :],
+        h_boost[None, :],
+    )
+    (contrib, rfl_o, rfl_d, rfl_w, rfl_b, rfl_m,
+     rfr_o, rfr_d, rfr_w, rfr_b, rfr_i, rfr_m) = outs
+    return (
+        contrib.T,
+        dict(o=rfl_o.T, d=rfl_d.T, w=rfl_w.T, budget=rfl_b[0],
+             mask=rfl_m[0] > 0.0),
+        dict(o=rfr_o.T, d=rfr_d.T, w=rfr_w.T, budget=rfr_b[0],
+             ior=rfr_i[0], mask=rfr_m[0] > 0.0),
+    )
 
 
 @functools.partial(

@@ -71,6 +71,19 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
         point=jnp.where(hval[:, None], hit.point, jnp.float32(1e9)),
     )
 
+    # fused path: lighting + node evaluation (children math) in ONE Pallas
+    # kernel. Packet mode keeps the XLA path (its reductions cross lanes);
+    # streaming scenes route lighting through the occlusion kernels.
+    if (
+        cfg.use_pallas
+        and not cfg.packet_mode
+        and not scene.streaming
+        and (cfg.reflections or cfg.refractions)
+    ):
+        return _eval_node_fused(
+            scene, cfg, eps_dist, hit, d, ior, weight, budget, from_refl, hval
+        )
+
     direct, spec = calculate_lighting(scene, cfg, hit, d, eps_dist)
 
     dist_f = attenuation_factor_based_on_distance(hit.t)
@@ -197,6 +210,91 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
             mask=mask,
         )
 
+    return contrib, hval, refl_push, refr_push
+
+
+def _eval_node_fused(scene, cfg, eps_dist, hit, d, ior, weight, budget, from_refl, hval):
+    """_eval_node's lighting + children math via the fused Pallas kernel
+    (pallas_shade_eval); semantics mirror the XLA path line for line."""
+    from .intersect import _pad_rays
+    from .pallas_kernels import pallas_shade_eval
+
+    R = d.shape[0]
+    args, _ = _pad_rays(
+        (
+            hit.point,
+            hit.normal,
+            d,  # the reference's specular "view" points AT the surface
+            hit.color,
+            hit.shininess,
+            hval.astype(jnp.float32),
+            hit.t,
+            weight,
+            ior,
+            budget.astype(jnp.int32),
+            from_refl.astype(jnp.float32),
+            hit.has_trans.astype(jnp.float32),
+            hit.metallic,
+            hit.ior,
+            hit.opacity,
+            hit.boost,
+        ),
+        256,
+    )
+    contrib, refl, refr = pallas_shade_eval(
+        scene.light_pack,
+        scene.sph_pack,
+        scene.trb_pack,
+        scene.tri_woop,
+        scene.tri_nsq,
+        scene.tri_valid_f,
+        scene.tri_httr_f,
+        scene.tri_normal3,
+        scene.tri_ior,
+        scene.tri_op,
+        scene.tri_met,
+        scene.tri_colr,
+        scene.tri_absn,
+        scene.tri_aabb,
+        scene.tri_saabb,
+        *args,
+        n_lights=scene.n_lights,
+        eps_dist=float(eps_dist),
+        backface_culling=cfg.backface_culling,
+        interpret=cfg.interpret,
+        bigtri_trans=scene.bigtri_trans,
+        block_has_trans=scene.block_has_trans,
+        sb_sizes=scene.sb_sizes,
+        reflections=cfg.reflections,
+        refractions=cfg.refractions,
+        refl_max=int(cfg.reflection_max_depth),
+        refr_max=int(cfg.refraction_max_depth),
+        weight_cutoff=float(cfg.weight_cutoff),
+        air=float(DEFAULT_REFRACTION_INDEX),
+    )
+    contrib = contrib[:R]
+    refl_push = None
+    if cfg.reflections:
+        refl_push = dict(
+            o=refl["o"][:R],
+            d=refl["d"][:R],
+            ior=ior,  # reflection keeps the current medium (rs:703)
+            w=refl["w"][:R],
+            budget=refl["budget"][:R],
+            from_refl=jnp.ones((R,), bool),
+            mask=refl["mask"][:R],
+        )
+    refr_push = None
+    if cfg.refractions:
+        refr_push = dict(
+            o=refr["o"][:R],
+            d=refr["d"][:R],
+            ior=refr["ior"][:R],
+            w=refr["w"][:R],
+            budget=refr["budget"][:R],
+            from_refl=jnp.zeros((R,), bool),
+            mask=refr["mask"][:R],
+        )
     return contrib, hval, refl_push, refr_push
 
 
@@ -366,13 +464,51 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions,
     return ret(state["accum"], top_valid, state["dropped"])
 
 
-def _pool_append(pool, count, entries, masks, Q):
-    """Compact `entries` (list per push source, each (W,fields) + mask) into
-    the pool at `count`. All work is O(total candidate width)."""
-    cand = {
-        k: jnp.concatenate([e[k] for e in entries], axis=0)
-        for k in ("o", "d", "w", "ior", "budget", "from_refl", "pix")
-    }
+# packed pool-entry layout: one (Q, 16) f32 row per pending ray. Scatter
+# cost on TPU is ~per-ROW (measured: the per-field staging scatters were the
+# dominant wavefront-loop glue), so the 7 logical fields ride one wide row:
+#   [0:3] o | [3:6] d | [6:9] w | [9] ior | [10] budget | [11] from_refl |
+#   [12] pix | [13:16] pad
+# budget/pix live exactly in f32 (small ints; OOB_PIX = 2^24 < 2^24 limit).
+PK_O, PK_D, PK_W = slice(0, 3), slice(3, 6), slice(6, 9)
+PK_IOR, PK_BUD, PK_REFL, PK_PIX = 9, 10, 11, 12
+POOL_COLS = 16
+OOB_PIX_F = float(2**24 - 1)  # representable exactly in f32
+
+
+def _pack_entry(e, pix):
+    """Entry dict -> packed (N, 16) f32 rows."""
+    n = pix.shape[0]
+    return jnp.concatenate(
+        [
+            e["o"], e["d"], e["w"],
+            e["ior"][:, None],
+            e["budget"].astype(jnp.float32)[:, None],
+            e["from_refl"].astype(jnp.float32)[:, None],
+            pix.astype(jnp.float32)[:, None],
+            jnp.zeros((n, 3), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _unpack_entry(rows):
+    """Packed rows -> entry dict (+ pix as int32)."""
+    return dict(
+        o=rows[:, PK_O],
+        d=rows[:, PK_D],
+        w=rows[:, PK_W],
+        ior=rows[:, PK_IOR],
+        budget=rows[:, PK_BUD].astype(jnp.int32),
+        from_refl=rows[:, PK_REFL] != 0.0,
+        pix=rows[:, PK_PIX].astype(jnp.int32),
+    )
+
+
+def _pool_append(pool, count, cands, masks, Q):
+    """Compact packed candidate rows into the pool at `count` with ONE
+    staging scatter. All work is O(total candidate width)."""
+    cand = jnp.concatenate(cands, axis=0)
     m = jnp.concatenate(masks, axis=0)
     n_cand = m.shape[0]
     # dense positions among accepted candidates; rejected go to a drop slot
@@ -380,16 +516,13 @@ def _pool_append(pool, count, entries, masks, Q):
     n_push = pos_in[-1] + 1
     staging_pos = jnp.where(m, pos_in, n_cand)  # n_cand = drop slot
 
-    def stage(val):
-        pad = [(0, 1)] + [(0, 0)] * (val.ndim - 1)
-        out = jnp.zeros((n_cand + 1,) + val.shape[1:], val.dtype)
-        return out.at[staging_pos].set(val)[:n_cand]
-
-    pool = dict(pool)
+    staged = (
+        jnp.zeros((n_cand + 1, POOL_COLS), jnp.float32)
+        .at[staging_pos]
+        .set(cand)[:n_cand]
+    )
     start = count  # count is pre-clamped so start + n_cand <= Q
-    for k in cand:
-        staged = stage(cand[k])
-        pool[k] = jax.lax.dynamic_update_slice_in_dim(pool[k], staged, start, 0)
+    pool = jax.lax.dynamic_update_slice_in_dim(pool, staged, start, 0)
     return pool, count + n_push
 
 
@@ -415,28 +548,17 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
     )
     Q = 2 * R + 2 * W * (D + 2)
 
-    def empty(shape_tail, dtype):
-        return jnp.zeros((Q,) + shape_tail, dtype)
-
-    pool = dict(
-        o=empty((3,), jnp.float32),
-        d=empty((3,), jnp.float32),
-        w=empty((3,), jnp.float32),
-        ior=empty((), jnp.float32),
-        budget=empty((), jnp.int32),
-        from_refl=empty((), bool),
-        pix=empty((), jnp.int32),
-    )
+    pool = jnp.zeros((Q, POOL_COLS), jnp.float32)
     pix = jnp.arange(R, dtype=jnp.int32)
     count = jnp.int32(0)
-    entries, masks = [], []
+    cands, masks = [], []
     for p in (refr_push, refl_push):
         if p is None:
             continue
-        entries.append({**{k: p[k] for k in ("o", "d", "w", "ior", "budget", "from_refl")}, "pix": pix})
+        cands.append(_pack_entry(p, pix))
         masks.append(p["mask"])
-    if entries:
-        pool, count = _pool_append(pool, count, entries, masks, Q)
+    if cands:
+        pool, count = _pool_append(pool, count, cands, masks, Q)
 
     max_iters = cfg.max_nodes * ratio
     chunk = max(int(cfg.loop_chunk), 1)
@@ -459,16 +581,13 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
         start = jnp.maximum(count - W, 0)
         sel_active = start + jnp.arange(W, dtype=jnp.int32) < count
 
-        def takef(arr):
-            return jax.lax.dynamic_slice_in_dim(arr, start, W, 0)
-
-        e = {k: takef(pool[k]) for k in pool}
+        rows = jax.lax.dynamic_slice_in_dim(pool, start, W, 0)
 
         if cfg.resort_secondary:
             # sort the serviced batch by origin Morton code: spatially
             # coherent 256-ray kernel tiles cull far more blocks. Order is
             # free (contributions are weight-linear), results are exact.
-            oq = jnp.clip(e["o"] * 64.0, 0.0, 63.0).astype(jnp.int32)
+            oq = jnp.clip(rows[:, PK_O] * 64.0, 0.0, 63.0).astype(jnp.int32)
 
             def spread(v):  # interleave 6 bits -> 18-bit morton
                 v = (v | (v << 8)) & 0x0300F
@@ -479,8 +598,9 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
             key = spread(oq[:, 0]) | (spread(oq[:, 1]) << 1) | (spread(oq[:, 2]) << 2)
             key = jnp.where(sel_active, key, jnp.int32(2**30))  # dead lanes last
             order = jnp.argsort(key)
-            e = {k: jnp.take(v, order, axis=0) for k, v in e.items()}
+            rows = jnp.take(rows, order, axis=0)
             sel_active = jnp.take(sel_active, order)
+        e = _unpack_entry(rows)
         contrib_w, _, refl_p, refr_p = _eval_node(
             scene, cfg, eps_dist, e["o"], e["d"], e["ior"], e["w"], e["budget"],
             e["from_refl"], sel_active,
@@ -503,14 +623,14 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
         capped = jnp.minimum(start, Q - 2 * W)
         s["dropped"] = s["dropped"] + (start - capped)
         count = capped
-        entries, masks = [], []
+        cands, masks = [], []
         for p in (refr_p, refl_p):
             if p is None:
                 continue
-            entries.append({**{k: p[k] for k in ("o", "d", "w", "ior", "budget", "from_refl")}, "pix": e["pix"]})
+            cands.append(_pack_entry(p, e["pix"]))
             masks.append(p["mask"] & sel_active)
-        if entries:
-            pool2, count = _pool_append(s["pool"], count, entries, masks, Q)
+        if cands:
+            pool2, count = _pool_append(s["pool"], count, cands, masks, Q)
             s["pool"] = pool2
         s["count"] = count
         s["it"] = s["it"] + 1

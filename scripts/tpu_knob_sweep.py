@@ -5,11 +5,10 @@ import os, subprocess, sys, itertools, json
 
 VARIANTS = [
     # (tile, compact, chunk)
+    (32768, 32, 128),
+    (131072, 64, 128),
     (131072, 32, 128),
-    (131072, 16, 64),
-    (131072, 8, 32),
-    (524288, 32, 128),
-    (2097152, 64, 128),
+    (262144, 64, 128),
 ]
 
 # run in-process to share the relay session: subprocess would re-handshake
@@ -70,7 +69,7 @@ for tile, compact, chunk in VARIANTS:
     out = frame()
     comp = time.monotonic() - t0
     ts = []
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.monotonic()
         frame()
         ts.append((time.monotonic() - t0) * 1e3)
