@@ -58,7 +58,7 @@ def multi_session():
     the best session's line. All sessions' numbers go to stderr."""
     import subprocess
 
-    n = int(os.environ.get("BENCH_SESSIONS", 2))
+    n = int(os.environ.get("BENCH_SESSIONS", 3))
     results = []
     env = dict(os.environ, BENCH_CHILD="1")
     for s in range(n):
@@ -82,7 +82,7 @@ def multi_session():
 
 
 def main():
-    if os.environ.get("BENCH_CHILD") != "1" and int(os.environ.get("BENCH_SESSIONS", 2)) > 1:
+    if os.environ.get("BENCH_CHILD") != "1" and int(os.environ.get("BENCH_SESSIONS", 3)) > 1:
         return multi_session()
     import jax
 
@@ -118,11 +118,11 @@ def main():
         width=width,
         height=height,
         scene_backface_culling=True,
-        tile_rays=int(os.environ.get("BENCH_TILE", 32768)),
+        tile_rays=int(os.environ.get("BENCH_TILE", 262144)),
         max_nodes=int(os.environ.get("BENCH_MAX_NODES", 48)),
         weight_cutoff=float(os.environ.get("BENCH_WEIGHT_CUTOFF", 1e-3)),
         use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
-        compaction_ratio=int(os.environ.get("BENCH_COMPACT", 32)),
+        compaction_ratio=int(os.environ.get("BENCH_COMPACT", 64)),
         loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 128)),
         triangle_block=int(os.environ.get("BENCH_TRI_BLOCK", 512)),
         # multi-chip: shard the frame's tile axis over N devices (needs N
