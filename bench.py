@@ -125,6 +125,9 @@ def main():
         compaction_ratio=int(os.environ.get("BENCH_COMPACT", 64)),
         loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 128)),
         triangle_block=int(os.environ.get("BENCH_TRI_BLOCK", 512)),
+        # cap tiles per launched program (heavy configs can outlive the
+        # relay worker watchdog ~4 min in a single program; see PERF.md)
+        tiles_per_program=int(os.environ.get("BENCH_TPP", 0)),
         # multi-chip: shard the frame's tile axis over N devices (needs N
         # attached chips; validated on the 8-way virtual CPU mesh in tests)
         devices=int(os.environ.get("BENCH_DEVICES", 1)),
@@ -181,9 +184,35 @@ def main():
 
     def frame():
         # whole frame as ONE program: per-launch overhead is high on
-        # remote-attached TPUs
+        # remote-attached TPUs. BENCH_TPP caps tiles per program for
+        # configs that would outlive the relay watchdog in one executable.
+        group = cfg.tiles_per_program
         if cfg.devices > 1:
             outs = trace_tiles_sharded(dscene, cfg, o_tiles, d_tiles, mesh)
+        elif group and group < n_tiles:
+            n_g = (n_tiles + group - 1) // group * group
+            pad_g = n_g - n_tiles
+            o_g = jnp.concatenate([o_tiles, o_tiles[:pad_g]]) if pad_g else o_tiles
+            d_g = jnp.concatenate([d_tiles, d_tiles[:pad_g]]) if pad_g else d_tiles
+            cs, vs = [], []
+            for gs in range(0, n_g, group):
+                t_g = time.monotonic()
+                c, v = trace_rays_tiled(
+                    dscene, cfg, o_g[gs : gs + group], d_g[gs : gs + group]
+                )
+                # sync per group: an unbroken multi-minute device queue can
+                # trip the relay worker watchdog just like one long program.
+                # block_until_ready can return early on the relay — only a
+                # value fetch guarantees the group actually finished.
+                jax.block_until_ready(v)
+                np.asarray(c)[0, 0]
+                cs.append(c)
+                vs.append(v)
+                sys.stderr.write(
+                    f"  group {gs // group + 1}/{n_g // group}: "
+                    f"{time.monotonic() - t_g:.1f}s\n"
+                )
+            outs = (jnp.concatenate(cs)[:n_tiles], jnp.concatenate(vs)[:n_tiles])
         else:
             outs = trace_rays_tiled(dscene, cfg, o_tiles, d_tiles)
         jax.block_until_ready(outs)

@@ -1068,6 +1068,124 @@ def pallas_occlude_triangles(
 MAX_UNROLL_LIGHTS = 8
 
 
+def _bigtri_pt_transforms(trb, ptx, pty, ptz):
+    """Hoisted hit-point transforms over the big-primitive pack: returns
+    (T_u(p), T_v(p), T_w(p), n̂·p), each (P, RT). Computed once per light
+    chunk; every light's shadow scan derives its pair values by the affine
+    factorization (module comment above)."""
+
+    def col(i):
+        return trb[:, i : i + 1]
+
+    def pf(c):
+        return (
+            ptx[None, :] * col(c)
+            + pty[None, :] * col(3 + c)
+            + ptz[None, :] * col(6 + c)
+            + col(9 + c)
+        )
+
+    Pn = (
+        ptx[None, :] * col(15) + pty[None, :] * col(16) + ptz[None, :] * col(17)
+    )
+    return pf(0), pf(1), pf(2), Pn
+
+
+def _bigtri_occl_affine(trb, BP, lj, backface_culling, trans_rows):
+    """Shadow accumulators over the big-primitive pack for ONE light from
+    hoisted point transforms. Fresnel runs only on the leading `trans_rows`
+    sublane rows (transmissive bigtris are packed first, scene/device.py).
+    Returns (dec, opq, fr, fg, fb), each (RT,)."""
+    BPu, BPv, BPw, BPn = BP
+    lpx, lpy, lpz = lj["lpx"], lj["lpy"], lj["lpz"]  # (1, 1)
+    RT = BPu.shape[1]
+    P = trb.shape[0]
+    el = lj["el"][:, 0][None, :]          # (1, RT)
+    inv_lt = lj["inv_lt"][:, 0][None, :]
+    epsT = lj["epsT"][:, 0][None, :]
+    epsD = lj["epsD"][:, 0][None, :]
+    maxdp = lj["maxdp"][:, 0][None, :]
+
+    def part(sl, with_trans):
+        t_ = trb[sl]
+
+        def col(i):
+            return t_[:, i : i + 1]
+
+        def lf(c):
+            return lpx * col(c) + lpy * col(3 + c) + lpz * col(6 + c) + col(9 + c)
+
+        Du = lf(0) - BPu[sl]
+        Dv = lf(1) - BPv[sl]
+        Dw = lf(2) - BPw[sl]
+        u_o = BPu[sl] + el * Du
+        v_o = BPv[sl] + el * Dv
+        w_o = BPw[sl] + el * Dw
+        t = -w_o / Dw
+        u = u_o + t * Du
+        v = v_o + t * Dv
+        det = Dw * col(12)
+        httr = col(14) != 0.0
+        valid = (
+            (t > epsT)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v < 1.0)
+            & (jnp.abs(det) > epsD)
+            & (col(13) != 0.0)
+        )
+        if backface_culling or with_trans:
+            Ln = lpx * col(15) + lpy * col(16) + lpz * col(17)
+            cos_nv = (BPn[sl] - Ln) * inv_lt
+        if backface_culling:
+            valid &= (-cos_nv < 0.75) | httr
+        hit = valid & (t <= maxdp)
+        if with_trans:
+            ior = col(18)
+            opv = col(19)
+            met = col(20)
+            col_r = col(21)
+            cos_theta = jnp.abs(cos_nv)
+            is_inside = cos_nv < 0.0
+            eta_t = jnp.where(is_inside, ior, 1.0 / ior)
+            sin2_t = eta_t * eta_t * (1.0 - cos_theta * cos_theta)
+            is_refl = met > 0.0
+            is_tir = (httr & is_inside & (sin2_t > 1.0)) | is_refl
+            f0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+            f0r = f0 + (col_r - f0) * met
+            omc = 1.0 - cos_theta
+            fres_r = f0r + (1.0 - f0r) * omc * omc * omc * omc * omc
+            f_r = jnp.where(is_tir, jnp.where(is_refl, met, 1.0), fres_r)
+            t_red = jnp.where(httr, 1.0 - f_r, 0.0)
+            io = jnp.where(httr, opv, 0.0) * t_red
+        else:
+            io = jnp.float32(0.0)
+        hit_f = jnp.where(hit, 1.0, 0.0)
+        return (
+            jnp.sum(hit_f * (1.0 - io), axis=0),
+            jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=0),
+            jnp.sum(hit_f * col(22), axis=0),
+            jnp.sum(hit_f * col(23), axis=0),
+            jnp.sum(hit_f * col(24), axis=0),
+        )
+
+    accs = []
+    if trans_rows > 0:
+        accs.append(part(slice(0, trans_rows), True))
+    if trans_rows < P:
+        accs.append(part(slice(trans_rows, P), False))
+    if not accs:
+        z = jnp.zeros((RT,), jnp.float32)
+        return z, z, z, z, z
+    out = accs[0]
+    for a in accs[1:]:
+        out = (
+            out[0] + a[0], jnp.maximum(out[1], a[1]),
+            out[2] + a[2], out[3] + a[3], out[4] + a[4],
+        )
+    return out
+
+
 def _pt_transforms(woop, tn, ptx, pty, ptz, need_n):
     """Hoisted per-(ray, tri) Woop transforms of the hit point for one
     block: returns (T_u(p), T_v(p), T_w(p), n̂·p), each (RT, B)."""
@@ -1252,13 +1370,16 @@ def _light_sums(
     woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref, met_ref,
     colr_ref, absn_ref, aabb_ref, saabb_ref,
     ptx, pty, ptz, nx, ny, nz, vwx, vwy, vwz, mcr, mcg, mcb, shin, valid,
-    *, n_lights, nb, eps_dist, backface_culling, use_aabb, bigtri_trans,
+    *, n_lights, nb, eps_dist, backface_culling, use_aabb, bigtri_trans_rows,
     block_has_trans, sb_sizes,
 ):
     """Direct + specular light sums for one ray tile (flat lane fields):
     the shared shading core of `_light_shade_kernel` and the fused
     shade+eval kernel. Returns (dr, dg, db, spr, spg, spb), each (RT,)."""
     RT = ptx.shape[0]
+    # hit-point transforms over the big-primitive pack, shared by every
+    # light's shadow scan (affine factorization)
+    BP = _bigtri_pt_transforms(trb_ref[:], ptx, pty, ptz)
 
     has_spec = shin > 0.0
     spec_exp = jnp.maximum(shin * 512.0, 1.0)
@@ -1325,15 +1446,13 @@ def _light_sums(
                 )
             )
 
-            def sb_occl(_, j=j):
+            def sb_occl(_, j=j, lj=lights[j]):
                 d_, q_, r_, g_, b_ = _sphere_occl_comp(
                     sph_ref[:], sox[j], soy[j], soz[j],
                     ldx[j], ldy[j], ldz[j], maxd[j], backface_culling,
                 )
-                bd, bq, br, bg, bb = _bigtri_occl_comp(
-                    trb_ref[:], sox[j], soy[j], soz[j],
-                    ldx[j], ldy[j], ldz[j], maxd[j],
-                    backface_culling, bigtri_trans,
+                bd, bq, br, bg, bb = _bigtri_occl_affine(
+                    trb_ref[:], BP, lj, backface_culling, bigtri_trans_rows
                 )
                 return d_ + bd, jnp.maximum(q_, bq), r_ + br, g_ + bg, b_ + bb
 
@@ -1419,7 +1538,7 @@ def _light_shade_kernel(
     colr_ref, absn_ref, aabb_ref, saabb_ref,
     pt_ref, nrm_ref, view_ref, col_ref, shin_ref, valid_r_ref,
     direct_out, spec_out,
-    *, n_lights, nb, eps_dist, backface_culling, use_aabb, bigtri_trans,
+    *, n_lights, nb, eps_dist, backface_culling, use_aabb, bigtri_trans_rows,
     block_has_trans, sb_sizes,
 ):
     sums = _light_sums(
@@ -1433,7 +1552,7 @@ def _light_shade_kernel(
         shin_ref[0], valid_r_ref[0] != 0.0,
         n_lights=n_lights, nb=nb, eps_dist=eps_dist,
         backface_culling=backface_culling, use_aabb=use_aabb,
-        bigtri_trans=bigtri_trans, block_has_trans=block_has_trans,
+        bigtri_trans_rows=bigtri_trans_rows, block_has_trans=block_has_trans,
         sb_sizes=sb_sizes,
     )
     direct_out[:] = jnp.stack(sums[0:3])
@@ -1450,7 +1569,7 @@ def _shade_eval_kernel(
     contrib_out,
     rfl_o_out, rfl_d_out, rfl_w_out, rfl_b_out, rfl_m_out,
     rfr_o_out, rfr_d_out, rfr_w_out, rfr_b_out, rfr_i_out, rfr_m_out,
-    *, n_lights, nb, eps_dist, backface_culling, use_aabb, bigtri_trans,
+    *, n_lights, nb, eps_dist, backface_culling, use_aabb, bigtri_trans_rows,
     block_has_trans, sb_sizes, reflections, refractions, refl_max, refr_max,
     weight_cutoff, air,
 ):
@@ -1477,7 +1596,7 @@ def _shade_eval_kernel(
         ptx, pty, ptz, nx, ny, nz, vwx, vwy, vwz, mcr, mcg, mcb, shin, hval,
         n_lights=n_lights, nb=nb, eps_dist=eps_dist,
         backface_culling=backface_culling, use_aabb=use_aabb,
-        bigtri_trans=bigtri_trans, block_has_trans=block_has_trans,
+        bigtri_trans_rows=bigtri_trans_rows, block_has_trans=block_has_trans,
         sb_sizes=sb_sizes,
     )
 
@@ -1643,7 +1762,7 @@ def _shade_eval_kernel(
     jax.jit,
     static_argnames=(
         "n_lights", "eps_dist", "backface_culling", "ray_tile", "use_aabb",
-        "interpret", "bigtri_trans", "block_has_trans", "sb_sizes",
+        "interpret", "bigtri_trans_rows", "block_has_trans", "sb_sizes",
         "reflections", "refractions", "refl_max", "refr_max", "weight_cutoff",
         "air",
     ),
@@ -1655,7 +1774,7 @@ def pallas_shade_eval(
     point, normal, view, color, shininess, valid,
     t, w, rior, budget, from_refl, h_httr, h_met, h_ior, h_opac, h_boost,
     n_lights, eps_dist, backface_culling=False, ray_tile=256, use_aabb=True,
-    interpret=False, bigtri_trans=True, block_has_trans=(), sb_sizes=(),
+    interpret=False, bigtri_trans_rows=8, block_has_trans=(), sb_sizes=(),
     reflections=True, refractions=True, refl_max=5, refr_max=10,
     weight_cutoff=0.0, air=1.000293,
 ):
@@ -1687,7 +1806,7 @@ def pallas_shade_eval(
             eps_dist=eps_dist,
             backface_culling=backface_culling,
             use_aabb=use_aabb,
-            bigtri_trans=bigtri_trans,
+            bigtri_trans_rows=bigtri_trans_rows,
             block_has_trans=block_has_trans,
             sb_sizes=sb_sizes,
             reflections=reflections,
@@ -1778,7 +1897,7 @@ def pallas_shade_eval(
     jax.jit,
     static_argnames=(
         "n_lights", "eps_dist", "backface_culling", "ray_tile", "use_aabb",
-        "interpret", "bigtri_trans", "block_has_trans", "sb_sizes",
+        "interpret", "bigtri_trans_rows", "block_has_trans", "sb_sizes",
     ),
 )
 def pallas_light_shade(
@@ -1787,7 +1906,7 @@ def pallas_light_shade(
     tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb, tri_saabb,
     point, normal, view, color, shininess, valid,
     n_lights, eps_dist, backface_culling=False, ray_tile=256, use_aabb=True,
-    interpret=False, bigtri_trans=True, block_has_trans=(), sb_sizes=(),
+    interpret=False, bigtri_trans_rows=8, block_has_trans=(), sb_sizes=(),
 ):
     """Direct + specular lighting for R rays over n_lights point lights
     (shadow occlusion + shading fused). Returns (direct (R,3), spec (R,3)).
@@ -1814,7 +1933,7 @@ def pallas_light_shade(
             eps_dist=eps_dist,
             backface_culling=backface_culling,
             use_aabb=use_aabb,
-            bigtri_trans=bigtri_trans,
+            bigtri_trans_rows=bigtri_trans_rows,
             block_has_trans=block_has_trans,
             sb_sizes=sb_sizes,
         ),

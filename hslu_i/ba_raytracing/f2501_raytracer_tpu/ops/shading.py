@@ -110,7 +110,7 @@ def calculate_lighting(
             eps_dist=float(epsilon_distance),
             backface_culling=cfg.backface_culling,
             interpret=cfg.interpret,
-            bigtri_trans=scene.bigtri_trans,
+            bigtri_trans_rows=scene.bigtri_trans_rows,
             block_has_trans=scene.block_has_trans,
             sb_sizes=scene.sb_sizes,
         )

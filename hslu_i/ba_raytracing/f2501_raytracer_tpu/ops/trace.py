@@ -262,7 +262,7 @@ def _eval_node_fused(scene, cfg, eps_dist, hit, d, ior, weight, budget, from_ref
         eps_dist=float(eps_dist),
         backface_culling=cfg.backface_culling,
         interpret=cfg.interpret,
-        bigtri_trans=scene.bigtri_trans,
+        bigtri_trans_rows=scene.bigtri_trans_rows,
         block_has_trans=scene.block_has_trans,
         sb_sizes=scene.sb_sizes,
         reflections=cfg.reflections,

@@ -155,6 +155,9 @@ class DeviceScene:
     # all-opaque packs skip the shadow-Fresnel math in the kernels)
     n_bigtris: int = dataclasses.field(default=8, metadata=dict(static=True))
     bigtri_trans: bool = dataclasses.field(default=True, metadata=dict(static=True))
+    # leading sublane rows of trb_pack holding transmissive bigtris (rounded
+    # up to 8): the light kernel's Fresnel runs only on these rows
+    bigtri_trans_rows: int = dataclasses.field(default=8, metadata=dict(static=True))
     # which blocks contain transmissive materials (static: lets the shadow
     # kernel skip the Fresnel math on all-opaque blocks)
     block_has_trans: tuple = dataclasses.field(default=(), metadata=dict(static=True))
@@ -217,12 +220,23 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
             big_idx = np.sort(by_diag[:BIGTRI_CAP])
             big = np.zeros_like(big)
             big[big_idx] = True
+        # transmissive rows first: the light kernel runs the shadow-Fresnel
+        # math only on the leading bigtri_trans_rows sublane rows
+        if len(big_idx):
+            btr = np.array(
+                [triangles[i].material.transmission.mask for i in big_idx], bool
+            )
+            big_idx = np.concatenate([big_idx[btr], big_idx[~btr]])
+            n_big_trans = int(btr.sum())
+        else:
+            n_big_trans = 0
         small_idx = np.where(~big)[0]
         small_order = (
             small_idx[morton_order(cent[small_idx])] if len(small_idx) else small_idx
         ).astype(np.int64)
     else:
         big_idx = small_order = np.zeros((0,), np.int64)
+        n_big_trans = 0
 
     P_pad = max(_round_up(len(big_idx), 8), 8)
     T_pad = max(_round_up(max(len(small_order), 1), B), B)
@@ -477,6 +491,7 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         tri_block=B,
         n_bigtris=P_pad,
         bigtri_trans=bool(mat_has_trans[S_pad : S_pad + P_pad].any()),
+        bigtri_trans_rows=min(_round_up(n_big_trans, 8), P_pad) if n_big_trans else 0,
         block_has_trans=tuple(
             bool(
                 mat_has_trans[

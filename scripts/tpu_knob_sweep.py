@@ -1,19 +1,17 @@
 """Back-to-back 1080p realistic bench across pool/tile knobs in ONE relay
-session (cross-session variance is ~2x; within-session comparisons are
+session (cross-session variance is 3-4x; within-session comparisons are
 stable). Prints ms/frame per variant."""
-import os, subprocess, sys, itertools, json
+import os, sys, time
+
+import numpy as np
 
 VARIANTS = [
-    # (tile, compact, chunk)
-    (32768, 32, 128),
-    (131072, 64, 128),
-    (131072, 32, 128),
-    (262144, 64, 128),
+    # dict of RenderConfig overrides
+    dict(tile_rays=262144, compaction_ratio=64),
+    dict(tile_rays=262144, compaction_ratio=64, resort_secondary=True),
+    dict(tile_rays=262144, compaction_ratio=64, triangle_block=256),
+    dict(tile_rays=262144, compaction_ratio=128),
 ]
-
-# run in-process to share the relay session: subprocess would re-handshake
-import time
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
@@ -37,13 +35,13 @@ px, py = np.meshgrid(np.arange(W0), np.arange(H0))
 order = tile_major_order(W0, H0)
 px, py = px.reshape(-1)[order], py.reshape(-1)[order]
 
-for tile, compact, chunk in VARIANTS:
+for over in VARIANTS:
     cfg = RenderConfig(
         width=W0, height=H0, reflections=True, refractions=True,
         light_reflections=True, scene_backface_culling=True,
-        tile_rays=tile, max_nodes=48, weight_cutoff=1e-3,
-        compaction_ratio=compact, loop_chunk=chunk,
+        max_nodes=48, weight_cutoff=1e-3, loop_chunk=128, **over,
     )
+    tile = cfg.tile_rays
     scene = build("semesterbild", cfg)
     scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
     ds = build_device_scene(scene, cfg)
@@ -75,8 +73,7 @@ for tile, compact, chunk in VARIANTS:
         ts.append((time.monotonic() - t0) * 1e3)
     chk = float(np.asarray(out[0]).sum())
     print(
-        f"tile={tile:8d} ratio={compact:3d} chunk={chunk:4d}: "
-        f"{min(ts):8.1f} ms (all {[f'{t:.0f}' for t in ts]}) "
-        f"compile {comp:.0f}s checksum {chk:.1f}",
+        f"{str(over):70s}: {min(ts):8.1f} ms "
+        f"(all {[f'{t:.0f}' for t in ts]}) compile {comp:.0f}s checksum {chk:.1f}",
         flush=True,
     )
