@@ -1068,122 +1068,36 @@ def pallas_occlude_triangles(
 MAX_UNROLL_LIGHTS = 8
 
 
-def _bigtri_pt_transforms(trb, ptx, pty, ptz):
-    """Hoisted hit-point transforms over the big-primitive pack: returns
-    (T_u(p), T_v(p), T_w(p), n̂·p), each (P, RT). Computed once per light
-    chunk; every light's shadow scan derives its pair values by the affine
-    factorization (module comment above)."""
-
-    def col(i):
-        return trb[:, i : i + 1]
-
-    def pf(c):
-        return (
-            ptx[None, :] * col(c)
-            + pty[None, :] * col(3 + c)
-            + ptz[None, :] * col(6 + c)
-            + col(9 + c)
-        )
-
-    Pn = (
-        ptx[None, :] * col(15) + pty[None, :] * col(16) + ptz[None, :] * col(17)
-    )
-    return pf(0), pf(1), pf(2), Pn
-
-
-def _bigtri_occl_affine(trb, BP, lj, backface_culling, trans_rows):
-    """Shadow accumulators over the big-primitive pack for ONE light from
-    hoisted point transforms. Fresnel runs only on the leading `trans_rows`
-    sublane rows (transmissive bigtris are packed first, scene/device.py).
-    Returns (dec, opq, fr, fg, fb), each (RT,)."""
-    BPu, BPv, BPw, BPn = BP
-    lpx, lpy, lpz = lj["lpx"], lj["lpy"], lj["lpz"]  # (1, 1)
-    RT = BPu.shape[1]
+def _bigtri_occl_split(trb, sox, soy, soz, dx, dy, dz, maxd,
+                       backface_culling, trans_rows):
+    """`_bigtri_occl_comp` with the pack split at `trans_rows`: transmissive
+    bigtris are packed into the leading sublane rows (scene/device.py), so
+    the shadow-Fresnel math runs only there and the opaque remainder takes
+    the cheap path. Returns (dec, opq, fr, fg, fb), each (RT,)."""
     P = trb.shape[0]
-    el = lj["el"][:, 0][None, :]          # (1, RT)
-    inv_lt = lj["inv_lt"][:, 0][None, :]
-    epsT = lj["epsT"][:, 0][None, :]
-    epsD = lj["epsD"][:, 0][None, :]
-    maxdp = lj["maxdp"][:, 0][None, :]
-
-    def part(sl, with_trans):
-        t_ = trb[sl]
-
-        def col(i):
-            return t_[:, i : i + 1]
-
-        def lf(c):
-            return lpx * col(c) + lpy * col(3 + c) + lpz * col(6 + c) + col(9 + c)
-
-        Du = lf(0) - BPu[sl]
-        Dv = lf(1) - BPv[sl]
-        Dw = lf(2) - BPw[sl]
-        u_o = BPu[sl] + el * Du
-        v_o = BPv[sl] + el * Dv
-        w_o = BPw[sl] + el * Dw
-        t = -w_o / Dw
-        u = u_o + t * Du
-        v = v_o + t * Dv
-        det = Dw * col(12)
-        httr = col(14) != 0.0
-        valid = (
-            (t > epsT)
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v < 1.0)
-            & (jnp.abs(det) > epsD)
-            & (col(13) != 0.0)
-        )
-        if backface_culling or with_trans:
-            Ln = lpx * col(15) + lpy * col(16) + lpz * col(17)
-            cos_nv = (BPn[sl] - Ln) * inv_lt
-        if backface_culling:
-            valid &= (-cos_nv < 0.75) | httr
-        hit = valid & (t <= maxdp)
-        if with_trans:
-            ior = col(18)
-            opv = col(19)
-            met = col(20)
-            col_r = col(21)
-            cos_theta = jnp.abs(cos_nv)
-            is_inside = cos_nv < 0.0
-            eta_t = jnp.where(is_inside, ior, 1.0 / ior)
-            sin2_t = eta_t * eta_t * (1.0 - cos_theta * cos_theta)
-            is_refl = met > 0.0
-            is_tir = (httr & is_inside & (sin2_t > 1.0)) | is_refl
-            f0 = ((1.0 - ior) / (1.0 + ior)) ** 2
-            f0r = f0 + (col_r - f0) * met
-            omc = 1.0 - cos_theta
-            fres_r = f0r + (1.0 - f0r) * omc * omc * omc * omc * omc
-            f_r = jnp.where(is_tir, jnp.where(is_refl, met, 1.0), fres_r)
-            t_red = jnp.where(httr, 1.0 - f_r, 0.0)
-            io = jnp.where(httr, opv, 0.0) * t_red
-        else:
-            io = jnp.float32(0.0)
-        hit_f = jnp.where(hit, 1.0, 0.0)
-        return (
-            jnp.sum(hit_f * (1.0 - io), axis=0),
-            jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=0),
-            jnp.sum(hit_f * col(22), axis=0),
-            jnp.sum(hit_f * col(23), axis=0),
-            jnp.sum(hit_f * col(24), axis=0),
-        )
-
-    accs = []
+    parts = []
     if trans_rows > 0:
-        accs.append(part(slice(0, trans_rows), True))
+        parts.append(
+            _bigtri_occl_comp(
+                trb[:trans_rows], sox, soy, soz, dx, dy, dz, maxd,
+                backface_culling, True,
+            )
+        )
     if trans_rows < P:
-        accs.append(part(slice(trans_rows, P), False))
-    if not accs:
-        z = jnp.zeros((RT,), jnp.float32)
-        return z, z, z, z, z
-    out = accs[0]
-    for a in accs[1:]:
+        parts.append(
+            _bigtri_occl_comp(
+                trb[trans_rows:], sox, soy, soz, dx, dy, dz, maxd,
+                backface_culling, False,
+            )
+        )
+    out = parts[0]
+    for a in parts[1:]:
         out = (
             out[0] + a[0], jnp.maximum(out[1], a[1]),
             out[2] + a[2], out[3] + a[3], out[4] + a[4],
         )
     return out
+
 
 
 def _pt_transforms(woop, tn, ptx, pty, ptz, need_n):
@@ -1377,9 +1291,6 @@ def _light_sums(
     the shared shading core of `_light_shade_kernel` and the fused
     shade+eval kernel. Returns (dr, dg, db, spr, spg, spb), each (RT,)."""
     RT = ptx.shape[0]
-    # hit-point transforms over the big-primitive pack, shared by every
-    # light's shadow scan (affine factorization)
-    BP = _bigtri_pt_transforms(trb_ref[:], ptx, pty, ptz)
 
     has_spec = shin > 0.0
     spec_exp = jnp.maximum(shin * 512.0, 1.0)
@@ -1446,13 +1357,15 @@ def _light_sums(
                 )
             )
 
-            def sb_occl(_, j=j, lj=lights[j]):
+            def sb_occl(_, j=j):
                 d_, q_, r_, g_, b_ = _sphere_occl_comp(
                     sph_ref[:], sox[j], soy[j], soz[j],
                     ldx[j], ldy[j], ldz[j], maxd[j], backface_culling,
                 )
-                bd, bq, br, bg, bb = _bigtri_occl_affine(
-                    trb_ref[:], BP, lj, backface_culling, bigtri_trans_rows
+                bd, bq, br, bg, bb = _bigtri_occl_split(
+                    trb_ref[:], sox[j], soy[j], soz[j],
+                    ldx[j], ldy[j], ldz[j], maxd[j],
+                    backface_culling, bigtri_trans_rows,
                 )
                 return d_ + bd, jnp.maximum(q_, bq), r_ + br, g_ + bg, b_ + bb
 

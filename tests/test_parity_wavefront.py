@@ -98,6 +98,17 @@ def test_parity_small_interpret():
     check(cfg)
 
 
+def test_parity_soft_shadows_interpret():
+    """Many-light kernel path (soft-shadow clouds exceed one 8-light chunk,
+    exercising the fori-of-chunks scan with dynamic light-row slices)
+    against the scalar oracle, in interpret mode."""
+    cfg = RenderConfig(
+        reflections=True, refractions=True, soft_shadows=True,
+        use_pallas=True, interpret=True, **SIZE,
+    )
+    check(cfg, atol=3e-3)
+
+
 def test_parity_adaptive_refraction_budgets():
     """Opacities 0.25/0.45 hit the divisor-3 / divisor-2 + step-2 budget
     branches (raytracer_renderer.rs:458-491)."""
