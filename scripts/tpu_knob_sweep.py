@@ -7,10 +7,11 @@ import numpy as np
 
 VARIANTS = [
     # dict of RenderConfig overrides
-    dict(tile_rays=262144, compaction_ratio=64),
-    dict(tile_rays=262144, compaction_ratio=64, resort_secondary=True),
-    dict(tile_rays=262144, compaction_ratio=64, triangle_block=256),
-    dict(tile_rays=262144, compaction_ratio=128),
+    dict(tile_rays=262144, compaction_ratio=64, triangle_block=64),
+    dict(tile_rays=262144, compaction_ratio=64, triangle_block=32),
+    dict(tile_rays=262144, compaction_ratio=64, triangle_block=64,
+         resort_secondary=True),
+    dict(tile_rays=262144, compaction_ratio=32, triangle_block=64),
 ]
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
