@@ -124,7 +124,12 @@ def main():
         use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
         compaction_ratio=int(os.environ.get("BENCH_COMPACT", 64)),
         loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 128)),
-        triangle_block=int(os.environ.get("BENCH_TRI_BLOCK", 64)),
+        # optimal block size is resolution-dependent (same-session sweeps,
+        # PERF.md): fine 64-triangle AABBs win at 1080p (deep secondary
+        # wavefronts), coarse 512 wins on small frames
+        triangle_block=int(
+            os.environ.get("BENCH_TRI_BLOCK", 64 if width * height >= 10**6 else 512)
+        ),
         # cap tiles per launched program (heavy configs can outlive the
         # relay worker watchdog ~4 min in a single program; see PERF.md)
         tiles_per_program=int(os.environ.get("BENCH_TPP", 0)),

@@ -8,10 +8,7 @@ import numpy as np
 VARIANTS = [
     # dict of RenderConfig overrides
     dict(tile_rays=262144, compaction_ratio=64, triangle_block=64),
-    dict(tile_rays=262144, compaction_ratio=64, triangle_block=32),
-    dict(tile_rays=262144, compaction_ratio=64, triangle_block=64,
-         resort_secondary=True),
-    dict(tile_rays=262144, compaction_ratio=32, triangle_block=64),
+    dict(tile_rays=262144, compaction_ratio=64, triangle_block=512),
 ]
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -30,7 +27,7 @@ from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import (
 from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays_tiled
 from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
 
-W0, H0 = 1920, 1080
+W0, H0 = (int(v) for v in __import__('os').environ.get('SWEEP_RES', '1920x1080').split('x'))
 n_pix = W0 * H0
 px, py = np.meshgrid(np.arange(W0), np.arange(H0))
 order = tile_major_order(W0, H0)
