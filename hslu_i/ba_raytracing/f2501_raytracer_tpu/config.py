@@ -166,6 +166,9 @@ class RenderConfig:
     # (measured neutral-to-slightly-negative on semesterbild; off by default)
     resort_secondary: bool = False
     triangle_block: int = 512  # triangles per matmul block
+    # Morton blocks per superblock AABB (two-level shadow/cast culling);
+    # 0 = the build default (8)
+    superblock: int = 0
     # triangle count beyond which the scene SoA stops being VMEM-resident
     # and the cast/occlude kernels stream Morton blocks from HBM instead
     # (~100 bytes/triangle resident; ~8 MB at the default threshold)

@@ -177,7 +177,7 @@ class DeviceScene:
         return self.tri_woop.shape[0]
 
 
-SUPERBLOCK = 8  # Morton blocks per superblock AABB (two-level culling)
+SUPERBLOCK = 8  # default Morton blocks per superblock AABB (two-level culling)
 # big primitives beyond this count overflow back into the Morton blocks
 # (the sublane pack's pair math is unconditional, so it must stay small)
 BIGTRI_CAP = 128
@@ -252,10 +252,11 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     # not poison a Morton superblock); Morton blocks group in runs of
     # SUPERBLOCK, which stay spatially tight because consecutive Morton
     # blocks are neighbours in space.
+    sb = int(getattr(cfg, "superblock", 0)) or SUPERBLOCK
     nb_small = -(-len(small_order) // B) if len(small_order) else 0
     sb_sizes = []
-    for s in range(0, nb_small, SUPERBLOCK):
-        sb_sizes.append(min(SUPERBLOCK, nb_small - s))
+    for s in range(0, nb_small, sb):
+        sb_sizes.append(min(sb, nb_small - s))
     sb_sizes += [1] * (nb - nb_small)
 
     # ---- per-block AABBs (real triangles only) ----------------------------

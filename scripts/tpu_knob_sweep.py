@@ -8,7 +8,8 @@ import numpy as np
 VARIANTS = [
     # dict of RenderConfig overrides
     dict(tile_rays=262144, compaction_ratio=64, triangle_block=64),
-    dict(tile_rays=262144, compaction_ratio=64, triangle_block=512),
+    dict(tile_rays=262144, compaction_ratio=64, triangle_block=64, superblock=4),
+    dict(tile_rays=262144, compaction_ratio=64, triangle_block=64, superblock=13),
 ]
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
