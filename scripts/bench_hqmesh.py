@@ -16,7 +16,7 @@ from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
 W, H = 1920, 1080
 cfg = RenderConfig(width=W, height=H, reflections=True, refractions=True,
                    scene_backface_culling=True, high_quality_model=True,
-                   triangle_block=int(os.environ.get("HQ_B", 512)),
+                   triangle_block=int(os.environ.get("HQ_B", 256)),
                    tile_rays=262144, compaction_ratio=64, max_nodes=48, weight_cutoff=1e-3, use_pallas=True)
 scene = build("semesterbild", cfg)
 scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
