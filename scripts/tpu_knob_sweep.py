@@ -7,14 +7,11 @@ import numpy as np
 
 VARIANTS = [
     # dict of RenderConfig overrides
-    dict(tile_rays=262144, compaction_ratio=64, triangle_block=512,
-         high_quality_model=True),
-    dict(tile_rays=262144, compaction_ratio=64, triangle_block=512,
-         superblock=4, high_quality_model=True),
-    dict(tile_rays=262144, compaction_ratio=64, triangle_block=256,
-         high_quality_model=True),
-    dict(tile_rays=262144, compaction_ratio=64, triangle_block=128,
-         superblock=16, high_quality_model=True),
+    dict(tile_rays=262144, compaction_ratio=64, triangle_block=64),
+    dict(tile_rays=262144, compaction_ratio=64, triangle_block=64,
+         loop_chunk=64),
+    dict(tile_rays=262144, compaction_ratio=64, triangle_block=64,
+         loop_chunk=48),
 ]
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
