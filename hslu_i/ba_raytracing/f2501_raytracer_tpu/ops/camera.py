@@ -75,9 +75,7 @@ def antialiasing_sampling_directions(rotation_scale: bool) -> np.ndarray:
 
 
 @lru_cache(maxsize=16)
-def _aa_table_cached(
-    total: int, randomness: bool, rotation_scale: bool, seed: int
-) -> tuple:
+def _aa_table_cached(total: int, randomness: bool, seed: int) -> tuple:
     samples = [[0.0, 0.0]] + [[1.0, 1.0]] * 8
     if randomness:
         pts = poisson_disk([1.2, 1.2], 3.0 / total, k=30, seed=seed ^ 0xAA5EED)
@@ -91,12 +89,7 @@ def _aa_table_cached(
 def antialiasing_offsets(cfg: RenderConfig, packet_lanes: int = 1) -> np.ndarray:
     """Per-sample origin offsets (total, 3) in scene units."""
     total = cfg.total_aa_rays
-    (table,) = _aa_table_cached(
-        total,
-        cfg.anti_aliasing_randomness,
-        cfg.anti_aliasing_rotation_scale,
-        cfg.seed,
-    )
+    (table,) = _aa_table_cached(total, cfg.anti_aliasing_randomness, cfg.seed)
     dirs = antialiasing_sampling_directions(cfg.anti_aliasing_rotation_scale)
     cam = cfg.camera
     scale_factor = math.sqrt(5.0) / 2.05 if cfg.anti_aliasing_rotation_scale else 0.85

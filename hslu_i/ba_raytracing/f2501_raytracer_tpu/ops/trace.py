@@ -469,11 +469,13 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions,
 # dominant wavefront-loop glue), so the 7 logical fields ride one wide row:
 #   [0:3] o | [3:6] d | [6:9] w | [9] ior | [10] budget | [11] from_refl |
 #   [12] pix | [13:16] pad
-# budget/pix live exactly in f32 (small ints; OOB_PIX = 2^24 < 2^24 limit).
+# budget/pix live exactly in f32: pool rows only ever hold real pixel
+# indices (< R < 2^24) and small depth budgets. The OOB_PIX staging sentinel
+# (2^30, above) never enters the pool — it is only written to the separate
+# int32 stage_pix buffer for scatter mode="drop".
 PK_O, PK_D, PK_W = slice(0, 3), slice(3, 6), slice(6, 9)
 PK_IOR, PK_BUD, PK_REFL, PK_PIX = 9, 10, 11, 12
 POOL_COLS = 16
-OOB_PIX_F = float(2**24 - 1)  # representable exactly in f32
 
 
 def _pack_entry(e, pix):

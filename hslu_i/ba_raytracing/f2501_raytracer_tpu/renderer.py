@@ -34,6 +34,12 @@ from .utils.timing import RenderTiming, TileStats
 class RaytracerRenderer:
     def __init__(self, cfg: RenderConfig):
         self.cfg = cfg.resolve_use_pallas()
+        if self.cfg.packet_mode and not self.cfg.anti_aliasing:
+            # through the renderer, packets ARE the 8 AA lanes of one pixel
+            # (config.py packet_mode); without AA, 8 unrelated pixels would
+            # share spawn/budget decisions. (trace_rays itself accepts any
+            # hand-built 8-lane-aligned wavefront — see tests/test_packet_mode.)
+            raise ValueError("packet_mode requires anti_aliasing")
 
     def render(
         self,
@@ -144,6 +150,12 @@ class RaytracerRenderer:
                     [d_all, np.tile(np.float32([0, 0, 1]), (n_pad - n_tiles, o_all.shape[1], 1))]
                 )
             ws = bool(cfg.render_timing_debug) and not use_mesh
+            if cfg.render_timing_debug and use_mesh:
+                print(
+                    "WARNING: render_timing_debug stats (incl. pool-drop "
+                    "counts) are not collected in multi-chip mode "
+                    "(devices > 1); render single-chip to audit drops"
+                )
             if group >= n_pad and use_mesh:
                 c, v = trace_tiles_sharded(
                     dscene, cfg, jax.numpy.asarray(o_all), jax.numpy.asarray(d_all),
