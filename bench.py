@@ -95,12 +95,14 @@ def main():
         build_device_scene,
     )
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.models import build
-    from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import (
-        antialiasing_offsets,
-        pixel_scene_coords,
-        tile_major_order,
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import (
+        trace_rays_tiled,
+        trace_rays_tiled_u32,
     )
-    from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays_tiled
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import (
+        build_frame_rays,
+        plan_frame,
+    )
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
 
     config_name = os.environ.get("BENCH_CONFIG", "realistic")
@@ -136,6 +138,9 @@ def main():
         # multi-chip: shard the frame's tile axis over N devices (needs N
         # attached chips; validated on the 8-way virtual CPU mesh in tests)
         devices=int(os.environ.get("BENCH_DEVICES", 1)),
+        # device-side u32 pixel encode + exact AA dedupe (renderer defaults)
+        device_encode=os.environ.get("BENCH_U32", "1") == "1",
+        dedupe_aa=os.environ.get("BENCH_DEDUPE", "1") == "1",
         **CONFIGS[config_name],
     )
 
@@ -143,49 +148,40 @@ def main():
     scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
     dscene = build_device_scene(scene, cfg)
 
+    # ray layout + AA expansion: the SAME plan the library renderer uses
+    # (tile-major square patches for kernel-tile culling; deduped weighted
+    # AA samples — renderer.plan_frame)
     n_pix = width * height
-    px, py = np.meshgrid(np.arange(width), np.arange(height))
-    # square image patches per kernel tile: the per-ray block culling only
-    # skips work when a whole 256-ray tile agrees (ops/camera.py)
-    order = tile_major_order(width, height)
-    px, py = px.reshape(-1)[order], py.reshape(-1)[order]
-    coords = pixel_scene_coords(cfg, px, py)
-    dirs = (coords - np.asarray(cfg.camera.render_ray_focus, np.float32)).astype(np.float32)
-
-    # AA sample expansion (same math as RaytracerRenderer.render_device)
-    aa = cfg.total_aa_rays if cfg.anti_aliasing else 1
-    if cfg.anti_aliasing:
-        offsets = antialiasing_offsets(cfg, cfg.aa_packet_lanes)
-        coords = (coords[:, None, :] + offsets[None, :, :]).reshape(-1, 3)
-        dirs = np.broadcast_to(dirs[:, None, :], (n_pix, aa, 3)).reshape(-1, 3)
-        coords = np.ascontiguousarray(coords, np.float32)
-        dirs = np.ascontiguousarray(dirs, np.float32)
+    plan = plan_frame(cfg)
+    o_np, d_np = build_frame_rays(cfg, plan)
+    n_tiles, tile = o_np.shape[0], o_np.shape[1]
+    aa = plan.aa
     n_rays = n_pix * aa
-
-    tile = cfg.tile_rays
-    n_tiles = (n_rays + tile - 1) // tile
-    pad = n_tiles * tile - n_rays
-    if pad:
-        coords = np.concatenate([coords, np.zeros((pad, 3), np.float32)])
-        dirs = np.concatenate([dirs, np.tile(np.float32([0, 0, 1]), (pad, 1))])
     if cfg.devices > 1:  # pad the tile axis so every device gets equal tiles
         n_pad = (n_tiles + cfg.devices - 1) // cfg.devices * cfg.devices
         if n_pad != n_tiles:
-            coords = np.concatenate(
-                [coords, np.zeros(((n_pad - n_tiles) * tile, 3), np.float32)]
+            o_np = np.concatenate(
+                [o_np, np.zeros((n_pad - n_tiles, tile, 3), np.float32)]
             )
-            dirs = np.concatenate(
-                [dirs, np.tile(np.float32([0, 0, 1]), ((n_pad - n_tiles) * tile, 1))]
+            d_np = np.concatenate(
+                [d_np, np.tile(np.float32([0, 0, 1]), (n_pad - n_tiles, tile, 1))]
             )
             n_tiles = n_pad
-    o_tiles = jnp.asarray(coords.reshape(n_tiles, tile, 3))
-    d_tiles = jnp.asarray(dirs.reshape(n_tiles, tile, 3))
+    o_tiles = jnp.asarray(o_np)
+    d_tiles = jnp.asarray(d_np)
+    w_dev = jnp.asarray(plan.weights)
     if cfg.devices > 1:
         from hslu_i.ba_raytracing.f2501_raytracer_tpu.parallel.mesh import (
             make_mesh, trace_tiles_sharded,
         )
 
         mesh = make_mesh(cfg.devices)
+    # device-side u32 pixel encode (the reference's framebuffer format):
+    # AA reduce + u8 pack fuse into the frame program and the host fetches
+    # 4 bytes/pixel instead of 12·aa f32 — the f32 fetch measured ~650 ms
+    # of the 1080p frame through the relay (scripts/tpu_wall_breakdown.py).
+    # The mesh path keeps f32 outputs (sharded host assembly).
+    use_u32 = cfg.device_encode and cfg.devices == 1
 
     def frame():
         # whole frame as ONE program: per-launch overhead is high on
@@ -199,43 +195,51 @@ def main():
             pad_g = n_g - n_tiles
             o_g = jnp.concatenate([o_tiles, o_tiles[:pad_g]]) if pad_g else o_tiles
             d_g = jnp.concatenate([d_tiles, d_tiles[:pad_g]]) if pad_g else d_tiles
-            cs, vs = [], []
+            parts = []
             for gs in range(0, n_g, group):
                 t_g = time.monotonic()
-                c, v = trace_rays_tiled(
-                    dscene, cfg, o_g[gs : gs + group], d_g[gs : gs + group]
-                )
-                # sync per group: an unbroken multi-minute device queue can
-                # trip the relay worker watchdog just like one long program.
-                # block_until_ready can return early on the relay — only a
-                # value fetch guarantees the group actually finished.
-                jax.block_until_ready(v)
-                np.asarray(c)[0, 0]
-                cs.append(c)
-                vs.append(v)
+                og, dg = o_g[gs : gs + group], d_g[gs : gs + group]
+                if use_u32:
+                    out = trace_rays_tiled_u32(dscene, cfg, og, dg, w_dev)
+                    # sync per group: an unbroken multi-minute device queue
+                    # can trip the relay worker watchdog just like one long
+                    # program; only a value fetch proves the group finished
+                    np.asarray(out[0, 0])
+                else:
+                    out = trace_rays_tiled(dscene, cfg, og, dg)
+                    jax.block_until_ready(out[1])
+                    np.asarray(out[0])[0, 0]
+                parts.append(out)
                 sys.stderr.write(
                     f"  group {gs // group + 1}/{n_g // group}: "
                     f"{time.monotonic() - t_g:.1f}s\n"
                 )
-            outs = (jnp.concatenate(cs)[:n_tiles], jnp.concatenate(vs)[:n_tiles])
+            if use_u32:
+                outs = jnp.concatenate(parts)[:n_tiles]
+            else:
+                outs = (
+                    jnp.concatenate([p[0] for p in parts])[:n_tiles],
+                    jnp.concatenate([p[1] for p in parts])[:n_tiles],
+                )
+        elif use_u32:
+            outs = trace_rays_tiled_u32(dscene, cfg, o_tiles, d_tiles, w_dev)
         else:
             outs = trace_rays_tiled(dscene, cfg, o_tiles, d_tiles)
-        jax.block_until_ready(outs)
-        # the remote relay's block_until_ready can return before the work
-        # completes (observed after fresh compiles AND on some sessions for
-        # every call); a one-element value fetch forces real completion
-        np.asarray(outs[0])[0, 0]
-        return outs
+        # fetch the full frame to the host — the frame isn't "rendered"
+        # until the host holds it (the reference's shared framebuffer); on
+        # the relay this fetch also forces real completion (block_until_ready
+        # alone can return early after fresh compiles)
+        return np.asarray(outs[0] if isinstance(outs, tuple) else outs)
 
     # warmup/compile
     t0 = time.monotonic()
-    outs = frame()
+    fb = frame()
     compile_s = time.monotonic() - t0
 
     times_ms = []
     for _ in range(repeats):
         t0 = time.monotonic()
-        frame()
+        fb = frame()
         times_ms.append((time.monotonic() - t0) * 1e3)
 
     ms = min(times_ms)
@@ -243,6 +247,10 @@ def main():
         "bench repeats (ms): " + ", ".join(f"{t:.1f}" for t in times_ms) + "\n"
     )
     rays_per_s = n_rays / (ms / 1e3)
+    sys.stderr.write(
+        json.dumps({"compile_s": round(compile_s, 1), "repeats_ms":
+                    [round(t, 1) for t in times_ms]}) + "\n"
+    )
     sys.stderr.write(
         f"bench: {width}x{height} semesterbild {config_name} | compile {compile_s:.1f}s | "
         f"{ms:.1f} ms/frame | {rays_per_s/1e6:.2f} Mprimary-rays/s (aa={aa}) | "

@@ -182,6 +182,20 @@ class RenderConfig:
     # each chip traces its local tiles (scene replicated, rays data-parallel,
     # SURVEY.md §2.3); outputs stay device-sharded for host assembly
     devices: int = 1
+    # fold identical AA samples into one weighted ray: the reference's AA
+    # table starts [0,0] + 8x[1,1] (raytracer_renderer.rs:105-127) and the
+    # scalar build biases every sample along direction 0 (aa_packet_lanes=1),
+    # so those 8 rows are the SAME ray — tracing it once with weight 8/total
+    # is algebraically exact (contributions are weight-linear). Ignored in
+    # packet_mode (packets need the full 8-lane layout).
+    dedupe_aa: bool = True
+    # encode finished pixels to packed 0xFFRRGGBB u32 ON DEVICE (the
+    # reference's ImageBuffer<AtomicU32> format, image_buffer.rs:10-15): the
+    # AA reduction + u8 quantization fuse into the frame program and the
+    # host fetches 4 bytes/pixel instead of 12·aa — on remote-attached TPUs
+    # the f32 fetch is a measurable share of frame latency (PERF.md).
+    # Invalid pixels encode as 0x00000000 (alpha 0 = never written).
+    device_encode: bool = False
     interpret: bool = False  # pallas interpreter mode (CPU tests)
     # None = auto (pallas on TPU backends, XLA elsewhere); the renderer and
     # bench resolve it via resolve_use_pallas()

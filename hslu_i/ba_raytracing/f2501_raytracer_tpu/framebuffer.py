@@ -48,7 +48,11 @@ class ImageBuffer:
 
     @classmethod
     def from_u32(cls, px: np.ndarray, width: int, height: int) -> "ImageBuffer":
+        """Rebuild from a packed 0xFFRRGGBB plane. Written pixels carry
+        alpha 0xFF (colorops.pack_u32); 0x00000000 = never written, exactly
+        an untouched atomic in the reference's zeroed buffer."""
+        px = px.reshape(height, width)
         buf = cls(width, height)
-        buf.color = u8_to_linear(unpack_u32(px.reshape(height, width)))
-        buf.valid[:] = True
+        buf.color = u8_to_linear(unpack_u32(px))
+        buf.valid[:] = (px >> 24) != 0
         return buf

@@ -86,6 +86,27 @@ def _aa_table_cached(total: int, randomness: bool, seed: int) -> tuple:
     return (table,)
 
 
+def antialiasing_weighted_offsets(
+    cfg: RenderConfig, packet_lanes: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets (U, 3), weights (U,)): the AA offset table with identical
+    rows folded into one weighted sample.
+
+    The table's first 9 entries are [0,0] + 8x[1,1]
+    (ref raytracer_renderer.rs:105-127); under the scalar build's
+    direction-cycling (packet_lanes=1, ops docstring above) the eight [1,1]
+    rows bias along the SAME direction and are therefore the same ray.
+    AA contributions are weight-linear (color_sum * 1/total,
+    rs:1001-1015), so tracing the ray once with weight count/total is
+    algebraically exact — multiplicities are powers of two, so even the
+    weight scaling is exact in f32."""
+    offsets = antialiasing_offsets(cfg, packet_lanes)
+    total = offsets.shape[0]
+    uniq, counts = np.unique(offsets, axis=0, return_counts=True)
+    weights = (counts / np.float32(total)).astype(np.float32)
+    return uniq.astype(np.float32), weights
+
+
 def antialiasing_offsets(cfg: RenderConfig, packet_lanes: int = 1) -> np.ndarray:
     """Per-sample origin offsets (total, 3) in scene units."""
     total = cfg.total_aa_rays

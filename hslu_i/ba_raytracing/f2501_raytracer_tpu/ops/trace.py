@@ -365,6 +365,47 @@ def trace_rays_tiled(scene: DeviceScene, cfg: RenderConfig, o_tiles, d_tiles,
     return out
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def trace_rays_tiled_u32(scene: DeviceScene, cfg: RenderConfig, o_tiles, d_tiles,
+                         aa_weights):
+    """`trace_rays_tiled` with the AA reduction + pixel encode fused into
+    the program: returns (n_tiles, T // U) packed 0xFFRRGGBB uint32 pixels
+    (the reference's framebuffer format, image_buffer.rs:10-15; u8
+    conversion is round-half-up with NO gamma, output/file.rs:61-71).
+
+    Each tile's T rays are U consecutive (possibly deduped, weighted) AA
+    samples per pixel; `aa_weights` (U,) are the per-sample weights (uniform
+    1/total without dedupe — ref rs:1001-1015 color_sum/total with misses
+    adding black). Invalid pixels (no sample hit) encode as 0x00000000,
+    exactly an untouched atomic in the reference's zeroed buffer.
+
+    On remote-attached TPUs this also cuts the host fetch from 12·U to 4
+    bytes per pixel — the f32 fetch was a measured share of frame latency
+    (PERF.md round 3)."""
+    U = aa_weights.shape[0]
+
+    def per_tile(od):
+        o, d = od
+        color, valid = trace_rays.__wrapped__(scene, cfg, o, d)
+        P = color.shape[0] // U
+        c = color.reshape(P, U, 3)
+        v = valid.reshape(P, U)
+        px_c = jnp.sum(
+            jnp.where(v[..., None], c, 0.0) * aa_weights[None, :, None], axis=1
+        )
+        px_v = jnp.any(v, axis=1)
+        u8 = jnp.floor(jnp.clip(px_c, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint32)
+        packed = (
+            (jnp.uint32(0xFF) << 24)
+            | (u8[:, 0] << 16)
+            | (u8[:, 1] << 8)
+            | u8[:, 2]
+        )
+        return jnp.where(px_v, packed, jnp.uint32(0))
+
+    return jax.lax.map(per_tile, (o_tiles, d_tiles))
+
+
 @partial(jax.jit, static_argnames=("cfg", "with_stats"))
 def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions,
                with_stats: bool = False):

@@ -17,6 +17,7 @@ window behaviour).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Optional
 
 import jax
@@ -24,11 +25,96 @@ import numpy as np
 
 from .config import RenderConfig
 from .framebuffer import ImageBuffer
-from .ops.camera import antialiasing_offsets, pixel_scene_coords
-from .ops.trace import trace_rays, trace_rays_tiled
+from .ops.camera import (
+    antialiasing_offsets,
+    antialiasing_weighted_offsets,
+    pixel_scene_coords,
+    tile_major_order,
+)
+from .ops.trace import trace_rays, trace_rays_tiled, trace_rays_tiled_u32
 from .scene.builder import Scene
 from .scene.device import DeviceScene, build_device_scene
 from .utils.timing import RenderTiming, TileStats
+
+
+@dataclasses.dataclass(frozen=True)
+class FramePlan:
+    """One frame's ray layout, shared by the renderer AND bench.py so both
+    hit the same kernel-tile culling behaviour (tile-major square patches
+    keep each 256-ray Pallas tile spatially tight; with row-major order the
+    per-ray block gates never agree to skip anything — see
+    ops/camera.py:tile_major_order)."""
+
+    order: np.ndarray  # tile-major position -> row-major pixel index
+    offsets: np.ndarray  # (U, 3) AA origin offsets (deduped when configured)
+    weights: np.ndarray  # (U,) per-sample weights, sum to 1
+    pix_per_tile: int
+    n_tiles: int
+
+    @property
+    def aa(self) -> int:  # samples actually traced per pixel
+        return self.offsets.shape[0]
+
+
+def plan_frame(cfg: RenderConfig) -> FramePlan:
+    H, W = cfg.height, cfg.width
+    total_pixels = H * W
+    if cfg.anti_aliasing:
+        if cfg.dedupe_aa and not cfg.packet_mode:
+            offsets, weights = antialiasing_weighted_offsets(cfg, cfg.aa_packet_lanes)
+        else:
+            offsets = antialiasing_offsets(cfg, cfg.aa_packet_lanes)
+            weights = np.full(
+                (offsets.shape[0],), 1.0 / cfg.total_aa_rays, np.float32
+            )
+    else:
+        offsets = np.zeros((1, 3), np.float32)
+        weights = np.ones((1,), np.float32)
+    U = offsets.shape[0]
+    # don't let tile padding exceed the frame: shrink the tile when the
+    # image is smaller than one tile
+    eff_tile = min(
+        cfg.tile_rays, max(1024, ((total_pixels * U + 1023) // 1024) * 1024)
+    )
+    pix_per_tile = max(eff_tile // U, 1)
+    n_tiles = (total_pixels + pix_per_tile - 1) // pix_per_tile
+    return FramePlan(
+        order=tile_major_order(W, H),
+        offsets=offsets,
+        weights=weights,
+        pix_per_tile=pix_per_tile,
+        n_tiles=n_tiles,
+    )
+
+
+def build_frame_rays(cfg: RenderConfig, plan: FramePlan):
+    """(o_all, d_all) each (n_tiles, pix_per_tile * U, 3) float32, pixels in
+    tile-major order, AA samples consecutive per pixel; padding rays beyond
+    the frame get a harmless +z direction."""
+    H, W = cfg.height, cfg.width
+    total_pixels = H * W
+    U = plan.aa
+    focus = np.asarray(cfg.camera.render_ray_focus, np.float32)
+    px, py = np.meshgrid(np.arange(W), np.arange(H))
+    px = px.reshape(-1)[plan.order]
+    py = py.reshape(-1)[plan.order]
+    coords = pixel_scene_coords(cfg, px, py)
+    dirs = (coords - focus[None, :]).astype(np.float32)
+
+    n_rays = plan.n_tiles * plan.pix_per_tile * U
+    o_all = np.zeros((n_rays, 3), np.float32)
+    d_all = np.tile(np.float32([0, 0, 1]), (n_rays, 1))
+    o_all[: total_pixels * U] = (
+        coords[:, None, :] + plan.offsets[None, :, :]
+    ).reshape(-1, 3)
+    d_all[: total_pixels * U] = np.broadcast_to(
+        dirs[:, None, :], (total_pixels, U, 3)
+    ).reshape(-1, 3)
+    T = plan.pix_per_tile * U
+    return (
+        o_all.reshape(plan.n_tiles, T, 3),
+        d_all.reshape(plan.n_tiles, T, 3),
+    )
 
 
 class RaytracerRenderer:
@@ -56,20 +142,15 @@ class RaytracerRenderer:
         returns (linear RGB (3,), valid) with AA when configured."""
         cfg = self.cfg
         cam = cfg.camera
-        aa = cfg.total_aa_rays if cfg.anti_aliasing else 1
-        offsets = (
-            antialiasing_offsets(cfg, cfg.aa_packet_lanes)
-            if cfg.anti_aliasing
-            else np.zeros((1, 3), np.float32)
-        )
+        plan = plan_frame(cfg)
         coords = pixel_scene_coords(cfg, np.asarray([x]), np.asarray([y]))[0]
         direction = coords - np.asarray(cam.render_ray_focus, np.float32)
-        o = coords[None, :] + offsets
-        d = np.broadcast_to(direction, (aa, 3)).copy()
+        o = coords[None, :] + plan.offsets
+        d = np.broadcast_to(direction, (plan.aa, 3)).copy()
         color, valid = trace_rays(dscene, cfg, jax.numpy.asarray(o), jax.numpy.asarray(d))
         color = np.asarray(color)
         valid = np.asarray(valid)
-        out = np.where(valid[:, None], color, 0.0).sum(axis=0) / np.float32(aa)
+        out = (np.where(valid[:, None], color, 0.0) * plan.weights[:, None]).sum(axis=0)
         return out.astype(np.float32), bool(valid.any())
 
     def render_device(
@@ -79,50 +160,25 @@ class RaytracerRenderer:
     ) -> ImageBuffer:
         cfg = self.cfg
         H, W = cfg.height, cfg.width
-        cam = cfg.camera
         timing = RenderTiming()
         stats = TileStats()  # per-tile seconds (ref renderer/mod.rs:39-78)
 
-        aa = cfg.total_aa_rays if cfg.anti_aliasing else 1
-        offsets = (
-            antialiasing_offsets(cfg, cfg.aa_packet_lanes)
-            if cfg.anti_aliasing
-            else np.zeros((1, 3), np.float32)
-        )
-
+        plan = plan_frame(cfg)
+        U = plan.aa
+        weights = plan.weights
         total_pixels = H * W
-        # don't let tile padding exceed the frame: shrink the tile to the
-        # rounded-up frame size when the image is smaller than one tile
-        eff_tile = min(cfg.tile_rays, max(1024, ((total_pixels * aa + 1023) // 1024) * 1024))
-        pix_per_tile = max(eff_tile // aa, 1)
-
-        px, py = np.meshgrid(np.arange(W), np.arange(H))
-        px, py = px.reshape(-1), py.reshape(-1)
+        pix_per_tile = plan.pix_per_tile
 
         buf = ImageBuffer(W, H)
         flat_color = buf.color.reshape(-1, 3)
         flat_valid = buf.valid.reshape(-1)
-        focus = np.asarray(cam.render_ray_focus, np.float32)
 
         import time as _time
 
         if progress is None:
             # one fused program for the whole frame
-            n_tiles = (total_pixels + pix_per_tile - 1) // pix_per_tile
-            o_all = np.zeros((n_tiles, pix_per_tile * aa, 3), np.float32)
-            d_all = np.tile(np.float32([0, 0, 1]), (n_tiles, pix_per_tile * aa, 1))
-            for ti in range(n_tiles):
-                start = ti * pix_per_tile
-                end = min(start + pix_per_tile, total_pixels)
-                n = end - start
-                coords = pixel_scene_coords(cfg, px[start:end], py[start:end])
-                dirs = coords - focus[None, :]
-                o_all[ti, : n * aa] = (
-                    coords[:, None, :] + offsets[None, :, :]
-                ).reshape(-1, 3)
-                d_all[ti, : n * aa] = np.broadcast_to(
-                    dirs[:, None, :], (n, aa, 3)
-                ).reshape(-1, 3)
+            n_tiles = plan.n_tiles
+            o_all, d_all = build_frame_rays(cfg, plan)
             # multi-chip mode: shard the tile axis over a device mesh
             # (scene replicated, rays data-parallel — SURVEY.md §2.3)
             use_mesh = cfg.devices > 1
@@ -156,6 +212,41 @@ class RaytracerRenderer:
                     "counts) are not collected in multi-chip mode "
                     "(devices > 1); render single-chip to audit drops"
                 )
+            # device-side pixel encode: the AA reduction + u8/u32 pack runs
+            # in the frame program and the host fetches 4 bytes/pixel (the
+            # reference's framebuffer format). Falls back to the f32 path
+            # under a mesh or when per-tile debug stats are requested.
+            use_u32 = cfg.device_encode and not use_mesh and not ws
+            if use_u32:
+                w_dev = jax.numpy.asarray(weights)
+                if group >= n_pad:
+                    u32 = np.asarray(
+                        trace_rays_tiled_u32(
+                            dscene, cfg, jax.numpy.asarray(o_all),
+                            jax.numpy.asarray(d_all), w_dev,
+                        )
+                    )
+                else:
+                    us = []
+                    for gs in range(0, n_pad, group):
+                        us.append(
+                            np.asarray(
+                                trace_rays_tiled_u32(
+                                    dscene, cfg,
+                                    jax.numpy.asarray(o_all[gs : gs + group]),
+                                    jax.numpy.asarray(d_all[gs : gs + group]),
+                                    w_dev,
+                                )
+                            )
+                        )
+                    u32 = np.concatenate(us)[:n_tiles]
+                fb = np.zeros((total_pixels,), np.uint32)
+                fb[plan.order] = u32.reshape(-1)[:total_pixels]
+                buf = ImageBuffer.from_u32(fb, W, H)
+                timing.next()
+                buf.timing = timing
+                buf.tile_stats = stats
+                return buf
             if group >= n_pad and use_mesh:
                 c, v = trace_tiles_sharded(
                     dscene, cfg, jax.numpy.asarray(o_all), jax.numpy.asarray(d_all),
@@ -193,47 +284,60 @@ class RaytracerRenderer:
                     vs.append(np.asarray(v))
                 color = np.concatenate(cs)[:n_tiles]
                 valid = np.concatenate(vs)[:n_tiles]
-            color = color.reshape(n_tiles * pix_per_tile, aa, 3)[:total_pixels]
-            valid = valid.reshape(n_tiles * pix_per_tile, aa)[:total_pixels]
-            frame_color = np.where(valid[..., None], color, 0.0).sum(
-                axis=1
-            ) / np.float32(aa)
+            color = color.reshape(n_tiles * pix_per_tile, U, 3)[:total_pixels]
+            valid = valid.reshape(n_tiles * pix_per_tile, U)[:total_pixels]
+            # weighted AA reduce (weights are 1/total, or multiplicity/total
+            # with dedupe — ref rs:1001-1015 color_sum/total, misses black)
+            frame_color = (
+                np.where(valid[..., None], color, 0.0) * weights[None, :, None]
+            ).sum(axis=1)
             frame_valid = valid.any(axis=1)
-            flat_color[frame_valid] = frame_color[frame_valid]
-            flat_valid |= frame_valid
+            # scatter back through the tile-major permutation
+            idx = plan.order[frame_valid]
+            flat_color[idx] = frame_color[frame_valid]
+            flat_valid[idx] = True
             timing.next()
             buf.timing = timing
             buf.tile_stats = stats
             return buf
 
+        # progressive path: per-tile launches committed as they finish
+        # (the reference's producer/consumer window, main.rs:330-347)
+        focus = np.asarray(cfg.camera.render_ray_focus, np.float32)
+        px_rm, py_rm = np.meshgrid(np.arange(W), np.arange(H))
+        px_o = px_rm.reshape(-1)[plan.order]
+        py_o = py_rm.reshape(-1)[plan.order]
         for start in range(0, total_pixels, pix_per_tile):
             t_tile = _time.monotonic()
             end = min(start + pix_per_tile, total_pixels)
             n = end - start
-            coords = pixel_scene_coords(cfg, px[start:end], py[start:end])  # (n,3)
+            coords = pixel_scene_coords(cfg, px_o[start:end], py_o[start:end])
             dirs = coords - focus[None, :]
-            origins = coords[:, None, :] + offsets[None, :, :]  # (n,aa,3)
-            dirs_rep = np.broadcast_to(dirs[:, None, :], (n, aa, 3))
+            origins = coords[:, None, :] + plan.offsets[None, :, :]  # (n,U,3)
+            dirs_rep = np.broadcast_to(dirs[:, None, :], (n, U, 3))
 
             o = origins.reshape(-1, 3)
             d = dirs_rep.reshape(-1, 3).copy()
             if n < pix_per_tile:  # pad for a stable jit shape
-                pad = (pix_per_tile - n) * aa
+                pad = (pix_per_tile - n) * U
                 o = np.concatenate([o, np.zeros((pad, 3), np.float32)])
                 d = np.concatenate([d, np.tile(np.float32([0, 0, 1]), (pad, 1))])
 
             color, valid = trace_rays(dscene, cfg, jax.numpy.asarray(o), jax.numpy.asarray(d))
-            color = np.asarray(color)[: n * aa].reshape(n, aa, 3)
-            valid = np.asarray(valid)[: n * aa].reshape(n, aa)
+            color = np.asarray(color)[: n * U].reshape(n, U, 3)
+            valid = np.asarray(valid)[: n * U].reshape(n, U)
 
-            # AA average: every sample contributes color/total (misses add
+            # AA average: every sample contributes weight*color (misses add
             # black); pixel is written iff any sample hit
             # (ref raytracer_renderer.rs:918-1016)
-            tile_color = np.where(valid[..., None], color, 0.0).sum(axis=1) / np.float32(aa)
+            tile_color = (
+                np.where(valid[..., None], color, 0.0) * weights[None, :, None]
+            ).sum(axis=1)
             tile_valid = valid.any(axis=1)
 
-            flat_color[start:end][tile_valid] = tile_color[tile_valid]
-            flat_valid[start:end] |= tile_valid
+            idx = plan.order[start:end][tile_valid]
+            flat_color[idx] = tile_color[tile_valid]
+            flat_valid[idx] = True
 
             if cfg.simulate_slow_render:  # ref renderer/mod.rs:126-129
                 _time.sleep(70e-6 * n)

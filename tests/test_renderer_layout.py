@@ -1,0 +1,108 @@
+"""Renderer ray-layout + device-encode invariants (round-3 unification):
+the tile-major kernel layout, the device-side u32 encode and the exact AA
+dedupe must all be output-invariant vs the straightforward row-major f32
+path (ref semantics: raytracer_renderer.rs:918-1016, image_buffer.rs)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from hslu_i.ba_raytracing.f2501_raytracer_tpu import RaytracerRenderer, RenderConfig
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import pixel_scene_coords
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.device import build_device_scene
+from scenes import mixed_scene
+
+
+def _cfg(**kw):
+    base = dict(
+        width=33,
+        height=17,
+        reflections=True,
+        refractions=True,
+        weight_cutoff=0.0,
+        compaction_ratio=1,  # stack path: per-ray-deterministic DFS order
+        use_pallas=False,
+    )
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_tile_major_layout_is_bit_identical_to_rowmajor():
+    """The tile-major permutation is host-side relabeling only: renderer
+    output must be BIT-identical to tracing the same pixels row-major
+    (per-ray math is position-independent on the stack path)."""
+    cfg = _cfg()
+    scene = mixed_scene(cfg)
+    ds = build_device_scene(scene, cfg)
+
+    buf = RaytracerRenderer(cfg).render_device(ds)
+
+    px, py = np.meshgrid(np.arange(cfg.width), np.arange(cfg.height))
+    coords = pixel_scene_coords(cfg, px.reshape(-1), py.reshape(-1))
+    dirs = coords - np.asarray(cfg.camera.render_ray_focus, np.float32)
+    c, v = trace_rays(ds, cfg, jnp.asarray(coords), jnp.asarray(dirs))
+    c = np.asarray(c).reshape(cfg.height, cfg.width, 3)
+    v = np.asarray(v).reshape(cfg.height, cfg.width)
+
+    np.testing.assert_array_equal(buf.valid, v)
+    np.testing.assert_array_equal(buf.color[v], c[v])
+
+
+def test_device_encode_matches_f32_path():
+    """device_encode=True (on-device AA reduce + u32 pack) must equal the
+    f32 host path in u8 space, and agree on validity."""
+    cfg = _cfg(anti_aliasing_rotation_scale=True, anti_aliasing_randomness=True)
+    scene = mixed_scene(cfg)
+    ds = build_device_scene(scene, cfg)
+
+    a = RaytracerRenderer(cfg).render_device(ds)
+    b = RaytracerRenderer(
+        dataclasses.replace(cfg, device_encode=True)
+    ).render_device(ds)
+
+    np.testing.assert_array_equal(a.valid, b.valid)
+    da = a.as_u8().astype(np.int16)
+    db = b.as_u8().astype(np.int16)
+    # identical math, device-side quantization: allow 1 u8 ulp for f32
+    # rounding at the exact .5 quantization boundaries
+    assert np.abs(da - db).max() <= 1, np.abs(da - db).max()
+    assert (np.abs(da - db) > 0).mean() < 0.01
+
+
+def test_dedupe_aa_matches_full_expansion():
+    """Folding the 8 identical [1,1] AA rows into one weighted ray is
+    algebraically exact; images must agree to f32 summation-order noise."""
+    cfg = _cfg(anti_aliasing_rotation_scale=True, anti_aliasing_randomness=True)
+    scene = mixed_scene(cfg)
+    ds = build_device_scene(scene, cfg)
+
+    a = RaytracerRenderer(cfg).render_device(ds)  # dedupe_aa=True default
+    b = RaytracerRenderer(
+        dataclasses.replace(cfg, dedupe_aa=False)
+    ).render_device(ds)
+
+    np.testing.assert_array_equal(a.valid, b.valid)
+    np.testing.assert_allclose(a.color, b.color, atol=2e-6, rtol=0)
+
+
+def test_progressive_path_matches_fused():
+    """The per-tile progressive path commits through the same tile-major
+    permutation and must reproduce the fused frame exactly."""
+    cfg = _cfg(anti_aliasing_rotation_scale=True)
+    scene = mixed_scene(cfg)
+    ds = build_device_scene(scene, cfg)
+
+    fused = RaytracerRenderer(cfg).render_device(ds)
+    seen = []
+    prog = RaytracerRenderer(cfg).render_device(
+        ds, progress=lambda buf, frac: seen.append(frac)
+    )
+    assert seen and seen[-1] == 1.0
+    np.testing.assert_array_equal(fused.valid, prog.valid)
+    np.testing.assert_array_equal(
+        fused.color[fused.valid], prog.color[prog.valid]
+    )
