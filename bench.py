@@ -125,6 +125,7 @@ def main():
         weight_cutoff=float(os.environ.get("BENCH_WEIGHT_CUTOFF", 1e-3)),
         use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
         compaction_ratio=int(os.environ.get("BENCH_COMPACT", 64)),
+        kernel_ray_tile=int(os.environ.get("BENCH_RAY_TILE", 256)),
         loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 128)),
         # optimal block size is resolution-dependent (same-session sweeps,
         # PERF.md): fine 64-triangle AABBs win at 1080p (deep secondary

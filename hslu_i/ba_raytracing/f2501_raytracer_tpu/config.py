@@ -166,6 +166,12 @@ class RenderConfig:
     # (measured neutral-to-slightly-negative on semesterbild; off by default)
     resort_secondary: bool = False
     triangle_block: int = 512  # triangles per matmul block
+    # rays per Pallas kernel instance (the kernel grid is R // kernel_ray_tile
+    # sequential instances). Larger tiles amortize VPU instruction-issue
+    # overhead on the flat (RT,)-wide shading ops (~4x fewer instances at
+    # 1024) at the cost of coarser per-tile AABB culling granularity and more
+    # VMEM per pair intermediate (RT x triangle_block f32).
+    kernel_ray_tile: int = 256
     # Morton blocks per superblock AABB (two-level shadow/cast culling);
     # 0 = the build default (8)
     superblock: int = 0

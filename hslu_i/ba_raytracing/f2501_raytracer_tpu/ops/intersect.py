@@ -231,7 +231,8 @@ def _tri_nearest_xla(scene, o4, d, backface_culling):
 
 
 @partial(
-    jax.jit, static_argnames=("backface_culling", "use_pallas", "interpret")
+    jax.jit,
+    static_argnames=("backface_culling", "use_pallas", "interpret", "ray_tile"),
 )
 def cast_rays(
     scene: DeviceScene,
@@ -240,6 +241,7 @@ def cast_rays(
     backface_culling: bool = False,
     use_pallas: bool = False,
     interpret: bool = False,
+    ray_tile: int = 256,
 ) -> Hit:
     """Nearest-hit cast of R rays (ref raytracer.rs:162-220). `d` must be
     normalized (Ray::new normalizes, ray.rs:54)."""
@@ -258,7 +260,7 @@ def cast_rays(
         closer = bt < best_t
         best_t = jnp.where(closer, bt, best_t)
         best_idx = jnp.where(closer, S + bidx, best_idx)
-        (op, dp), _ = _pad_rays((o, d), 256)
+        (op, dp), _ = _pad_rays((o, d), ray_tile)
         tt, tidx = pallas_cast_triangles_stream(
             scene.tri_woop,
             scene.tri_nsq,
@@ -269,6 +271,7 @@ def cast_rays(
             op,
             dp,
             backface_culling=backface_culling,
+            ray_tile=ray_tile,
             interpret=interpret,
         )
         tt, tidx = tt[:R], tidx[:R]
@@ -278,7 +281,7 @@ def cast_rays(
     elif use_pallas:
         from .pallas_kernels import pallas_cast_triangles
 
-        (op, dp), _ = _pad_rays((o, d), 256)
+        (op, dp), _ = _pad_rays((o, d), ray_tile)
         tt, tidx = pallas_cast_triangles(
             scene.trb_pack,
             scene.tri_woop,
@@ -291,6 +294,7 @@ def cast_rays(
             op,
             dp,
             backface_culling=backface_culling,
+            ray_tile=ray_tile,
             interpret=interpret,
             sb_sizes=scene.sb_sizes,
         )
@@ -435,7 +439,8 @@ def _tri_occlusion_xla(scene, o4, d, max_distance, backface_culling):
 
 
 @partial(
-    jax.jit, static_argnames=("backface_culling", "use_pallas", "interpret")
+    jax.jit,
+    static_argnames=("backface_culling", "use_pallas", "interpret", "ray_tile"),
 )
 def occlude_rays(
     scene: DeviceScene,
@@ -445,6 +450,7 @@ def occlude_rays(
     backface_culling: bool = False,
     use_pallas: bool = False,
     interpret: bool = False,
+    ray_tile: int = 256,
 ):
     """Shadow/occlusion test (ref raytracer.rs:24-106).
 
@@ -467,7 +473,7 @@ def occlude_rays(
         dec = dec + bdec
         opq = opq | bopq
         fsub = fsub + bfsub
-        (op_, dp_, mp_), R = _pad_rays((o, d, max_distance), 256)
+        (op_, dp_, mp_), R = _pad_rays((o, d, max_distance), ray_tile)
         tdec, topq, tfsub = pallas_occlude_triangles_stream(
             scene.tri_woop,
             scene.tri_nsq,
@@ -484,6 +490,7 @@ def occlude_rays(
             dp_,
             mp_,
             backface_culling=backface_culling,
+            ray_tile=ray_tile,
             interpret=interpret,
             trans_blocks=any(scene.block_has_trans) if scene.block_has_trans else True,
         )
@@ -493,7 +500,7 @@ def occlude_rays(
     elif use_pallas:
         from .pallas_kernels import pallas_occlude_triangles
 
-        (op_, dp_, mp_), R = _pad_rays((o, d, max_distance), 256)
+        (op_, dp_, mp_), R = _pad_rays((o, d, max_distance), ray_tile)
         tdec, topq, tfsub = pallas_occlude_triangles(
             scene.trb_pack,
             scene.tri_woop,
@@ -512,6 +519,7 @@ def occlude_rays(
             dp_,
             mp_,
             backface_culling=backface_culling,
+            ray_tile=ray_tile,
             interpret=interpret,
             bigtri_trans=scene.bigtri_trans,
             block_has_trans=scene.block_has_trans,

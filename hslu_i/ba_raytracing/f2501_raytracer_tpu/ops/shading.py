@@ -87,7 +87,7 @@ def calculate_lighting(
                 hit.shininess,
                 valid.astype(jnp.float32),
             ),
-            256,
+            cfg.kernel_ray_tile,
         )
         direct, spec = pallas_light_shade(
             scene.light_pack,
@@ -109,6 +109,7 @@ def calculate_lighting(
             n_lights=scene.n_lights,
             eps_dist=float(epsilon_distance),
             backface_culling=cfg.backface_culling,
+            ray_tile=cfg.kernel_ray_tile,
             interpret=cfg.interpret,
             bigtri_trans_rows=scene.bigtri_trans_rows,
             block_has_trans=scene.block_has_trans,
@@ -149,6 +150,7 @@ def calculate_lighting(
             cfg.backface_culling,
             bool(cfg.use_pallas),
             cfg.interpret,
+            cfg.kernel_ray_tile,
         )
         occluded = occluded.reshape(c, R)
         combined_opacity = combined_opacity.reshape(c, R)

@@ -61,7 +61,10 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
     # lets the Pallas block-AABB cull skip tiles of dead rays for free
     o = jnp.where(active[:, None], o, jnp.float32(1e9))
     d = jnp.where(active[:, None], d, jnp.float32([0.0, 0.0, 1.0])[None, :])
-    hit = cast_rays(scene, o, d, cfg.backface_culling, bool(cfg.use_pallas), cfg.interpret)
+    hit = cast_rays(
+        scene, o, d, cfg.backface_culling, bool(cfg.use_pallas), cfg.interpret,
+        cfg.kernel_ray_tile,
+    )
     hval = hit.valid & active
     # park missed lanes far away too: their (masked-out) shadow rays then
     # miss every block AABB, letting background tiles skip the whole scene
@@ -239,7 +242,7 @@ def _eval_node_fused(scene, cfg, eps_dist, hit, d, ior, weight, budget, from_ref
             hit.opacity,
             hit.boost,
         ),
-        256,
+        cfg.kernel_ray_tile,
     )
     contrib, refl, refr = pallas_shade_eval(
         scene.light_pack,
@@ -261,6 +264,7 @@ def _eval_node_fused(scene, cfg, eps_dist, hit, d, ior, weight, budget, from_ref
         n_lights=scene.n_lights,
         eps_dist=float(eps_dist),
         backface_culling=cfg.backface_culling,
+        ray_tile=cfg.kernel_ray_tile,
         interpret=cfg.interpret,
         bigtri_trans_rows=scene.bigtri_trans_rows,
         block_has_trans=scene.block_has_trans,
@@ -453,11 +457,11 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions,
         return ret(contrib, top_valid, jnp.int32(0))
 
     ratio = max(int(cfg.compaction_ratio), 1)
-    # >=: a tile of exactly 256*ratio rays (e.g. 8192 at ratio 32) must also
+    # >=: a tile of exactly rt*ratio rays (e.g. 8192 at ratio 32) must also
     # take the pool path — the full-width stack path re-evaluates the whole
     # wavefront per pop and is ~ratio x slower; on the remote relay that can
     # stretch one program past the worker watchdog (see PERF.md)
-    if ratio > 1 and R >= 256 * ratio:
+    if ratio > 1 and R >= cfg.kernel_ray_tile * ratio:
         accum, dropped = _run_pool(
             scene, cfg, eps_dist, R, contrib, refr_push, refl_push
         )
@@ -576,7 +580,8 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
     evaluation order is free. Returns (accum, dropped).
     """
     ratio = max(int(cfg.compaction_ratio), 1)
-    W = max((R // ratio) // 256 * 256, 256)
+    rt = int(cfg.kernel_ray_tile)
+    W = max((R // ratio) // rt * rt, rt)
     # Pool capacity: the prologue pushes at most 2R entries; the service loop
     # is LIFO (top-W pops = a W-wide DFS frontier), so each budget level adds
     # at most one net +W band of children on top before budgets decrement —

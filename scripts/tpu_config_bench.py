@@ -1,6 +1,16 @@
-"""All five BASELINE configs at 240x135 in ONE relay session (round-2
-kernels). Prints ms/frame per config."""
-import os, sys, time
+"""All five BASELINE configs in ONE relay session, reported as ratios
+against that session's `realistic` row (VERDICT r2 item 7: cross-session
+absolutes are 3-4x noisy, so only same-session ratios are
+regression-trackable; see PERF.md per-config table).
+
+Env: CFGBENCH_RES=WxH (default 240x135), CFGBENCH_REPEATS (default 3).
+Ray layout + AA expansion go through the library renderer's plan_frame /
+build_frame_rays (the same path bench.py and RaytracerRenderer use).
+"""
+import json
+import os
+import sys
+import time
 
 import numpy as np
 
@@ -13,79 +23,74 @@ import jax.numpy as jnp
 
 from hslu_i.ba_raytracing.f2501_raytracer_tpu import RenderConfig, build_device_scene
 from hslu_i.ba_raytracing.f2501_raytracer_tpu.models import build
-from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.camera import (
-    antialiasing_offsets,
-    pixel_scene_coords,
-    tile_major_order,
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays_tiled_u32
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import (
+    build_frame_rays,
+    plan_frame,
 )
-from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays_tiled
 from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
 
+# realistic FIRST: it is the baseline row every other config is divided by
 CONFIGS = {
+    "realistic": dict(reflections=True, light_reflections=True, refractions=True),
     "default": dict(),
     "anti_aliasing": dict(
         anti_aliasing_rotation_scale=True, anti_aliasing_randomness=True
     ),
     "soft_shadows": dict(soft_shadows=True),
-    "realistic": dict(reflections=True, light_reflections=True, refractions=True),
     "extreme": dict(
         reflections=True, light_reflections=True, refractions=True,
         extreme_quality=True, high_quality_model=True,
     ),
 }
 
-W0, H0 = 240, 135
+W0, H0 = (int(v) for v in os.environ.get("CFGBENCH_RES", "240x135").split("x"))
+REPEATS = int(os.environ.get("CFGBENCH_REPEATS", 3))
+
+rows = []
 for name, feats in CONFIGS.items():
     cfg = RenderConfig(
         width=W0, height=H0, scene_backface_culling=True,
         tile_rays=262144, max_nodes=48, weight_cutoff=1e-3,
-        compaction_ratio=64, loop_chunk=128, **feats,
+        compaction_ratio=64, loop_chunk=128, use_pallas=True,
+        triangle_block=64 if W0 * H0 >= 10**6 else 512,
+        device_encode=True, dedupe_aa=True,
+        kernel_ray_tile=int(os.environ.get("CFGBENCH_RAY_TILE", 256)),
+        **feats,
     )
     scene = build("semesterbild", cfg)
     scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
     ds = build_device_scene(scene, cfg)
-    n_pix = W0 * H0
-    px, py = np.meshgrid(np.arange(W0), np.arange(H0))
-    order = tile_major_order(W0, H0)
-    px, py = px.reshape(-1)[order], py.reshape(-1)[order]
-    coords = pixel_scene_coords(cfg, px, py)
-    dirs = (coords - np.asarray(cfg.camera.render_ray_focus, np.float32)).astype(
-        np.float32
-    )
-    aa = cfg.total_aa_rays if cfg.anti_aliasing else 1
-    if cfg.anti_aliasing:
-        offs = antialiasing_offsets(cfg, cfg.aa_packet_lanes)
-        coords = (coords[:, None, :] + offs[None, :, :]).reshape(-1, 3)
-        dirs = np.broadcast_to(dirs[:, None, :], (n_pix, aa, 3)).reshape(-1, 3)
-        coords = np.ascontiguousarray(coords, np.float32)
-        dirs = np.ascontiguousarray(dirs, np.float32)
-    n_rays = n_pix * aa
-    tile = min(cfg.tile_rays, max(1024, (n_rays + 1023) // 1024 * 1024))
-    n_tiles = (n_rays + tile - 1) // tile
-    pad = n_tiles * tile - n_rays
-    if pad:
-        coords = np.concatenate([coords, np.zeros((pad, 3), np.float32)])
-        dirs = np.concatenate([dirs, np.tile(np.float32([0, 0, 1]), (pad, 1))])
-    o_t = jnp.asarray(coords.reshape(n_tiles, tile, 3))
-    d_t = jnp.asarray(dirs.reshape(n_tiles, tile, 3))
+    plan = plan_frame(cfg)
+    o_np, d_np = build_frame_rays(cfg, plan)
+    o_t, d_t = jnp.asarray(o_np), jnp.asarray(d_np)
+    w_dev = jnp.asarray(plan.weights)
 
     def frame():
-        outs = trace_rays_tiled(ds, cfg, o_t, d_t)
-        jax.block_until_ready(outs)
-        np.asarray(outs[0])[0, 0]
-        return outs
+        return np.asarray(trace_rays_tiled_u32(ds, cfg, o_t, d_t, w_dev))
 
     t0 = time.monotonic()
     frame()
     comp = time.monotonic() - t0
     ts = []
-    for _ in range(3):
+    for _ in range(REPEATS):
         t0 = time.monotonic()
         frame()
         ts.append((time.monotonic() - t0) * 1e3)
+    rows.append((name, min(ts), ts, comp, plan.aa, int(ds.light_pos.shape[0]),
+                 ds.n_triangles))
     print(
         f"{name:14s}: {min(ts):9.1f} ms (all {[f'{t:.0f}' for t in ts]}) "
-        f"aa={aa} lights={int(ds.light_pos.shape[0])} "
+        f"aa={plan.aa} lights={int(ds.light_pos.shape[0])} "
         f"tris={ds.n_triangles} compile {comp:.0f}s",
         flush=True,
     )
+
+base = rows[0][1]
+print(f"\n== same-session ratios vs realistic ({base:.1f} ms) @ {W0}x{H0} ==")
+table = {}
+for name, ms, *_ in rows:
+    table[name] = round(ms / base, 3)
+    print(f"{name:14s}: {ms / base:7.3f}x")
+print(json.dumps({"res": f"{W0}x{H0}", "realistic_ms": round(base, 1),
+                  "ratios": table}))

@@ -32,6 +32,29 @@ def box_downsample(img, h, w):
     return acc / cnt
 
 
+def test_golden_structural_cheap_always_on():
+    """ALWAYS-ON structural gate vs the reference golden (VERDICT r2 item 9):
+    a 57x47 realistic render (no AA, no soft shadows, lowres mesh — ~35 s on
+    CPU) against the box-downsampled output.png. The absent supersampling /
+    light clouds cost a few RMSE points (measured 33.0 vs ~30 with them), so
+    the same coarse structural bound applies: catches flips, palette breaks,
+    and shading regressions in default CI without opt-in flags."""
+    if not reference_available():
+        pytest.skip("reference data not mounted")
+    W, H = 57, 47
+    cfg = RenderConfig(
+        width=W, height=H, reflections=True, refractions=True,
+        light_reflections=True, scene_backface_culling=True, max_nodes=64,
+    )
+    scene = build("semesterbild", cfg)
+    buf = RaytracerRenderer(cfg).render(scene)
+    mine = buf.as_u8().astype(np.float64)
+    ref = read_png(os.path.join(REFERENCE_ROOT, "output.png")).astype(np.float64)
+    ref_small = box_downsample(ref, H, W)
+    rmse = float(np.sqrt(np.mean((ref_small - mine) ** 2)))
+    assert rmse < 40.0, f"golden structural RMSE {rmse:.2f} too high"
+
+
 @pytest.mark.skipif(
     os.environ.get("RUN_GOLDEN") != "1", reason="heavy; set RUN_GOLDEN=1"
 )

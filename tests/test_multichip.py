@@ -121,6 +121,47 @@ def test_pool_path_sharded_matches_single():
     assert cfg.compaction_ratio > 1 and 512 >= 256 * cfg.compaction_ratio
 
 
+def test_pallas_interpret_sharded_matches_single():
+    """Pallas kernels INSIDE shard_map: on real multi-chip hardware
+    cfg.devices>1 runs the Pallas path on every chip — a combination the
+    plain mesh tests never exercise (CPU resolves use_pallas=None to False).
+    Interpret mode executes the same kernel bodies on the CPU mesh, closing
+    the coverage hole without TPU hardware (VERDICT r2 item 5)."""
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.parallel.mesh import (
+        trace_tiles_sharded,
+    )
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays_tiled
+
+    cfg = RenderConfig(
+        width=64, height=64, reflections=True, refractions=True,
+        compaction_ratio=2, max_nodes=24, tile_rays=512,
+        use_pallas=True, interpret=True,
+    )
+    scene = mixed_scene(cfg)
+    ds = build_device_scene(scene, cfg)
+    cam = cfg.camera
+    px, py = np.meshgrid(np.arange(64), np.arange(64))
+    coords = np.stack(
+        [
+            px.reshape(-1) * cam.w2s_width,
+            py.reshape(-1) * cam.w2s_height,
+            np.zeros(64 * 64),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    dirs = (coords - np.asarray(cam.render_ray_focus, np.float32)).astype(np.float32)
+    o_tiles = jnp.asarray(coords.reshape(8, 512, 3))
+    d_tiles = jnp.asarray(dirs.reshape(8, 512, 3))
+
+    mesh = make_mesh(8)
+    c_m, v_m = trace_tiles_sharded(ds, cfg, o_tiles, d_tiles, mesh)
+    c_1, v_1 = trace_rays_tiled(ds, cfg, o_tiles, d_tiles)
+    np.testing.assert_array_equal(np.asarray(v_m), np.asarray(v_1))
+    np.testing.assert_allclose(
+        np.asarray(c_m), np.asarray(c_1), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_renderer_mesh_mode_matches_single():
     """RaytracerRenderer with cfg.devices=8 (tile axis sharded over the mesh)
     must produce the same frame as the single-device fused render."""
