@@ -183,6 +183,13 @@ def main():
     # of the 1080p frame through the relay (scripts/tpu_wall_breakdown.py).
     # The mesh path keeps f32 outputs (sharded host assembly).
     use_u32 = cfg.device_encode and cfg.devices == 1
+    # overlapped fetch: split the frame into BENCH_OVERLAP programs, dispatch
+    # them ALL, then fetch in order — group g's 1 MB host fetch rides while
+    # g+1 computes. Same-session measurement (scripts/tpu_overlap_bench.py):
+    # 1795.7 -> 1677.7 ms at G=8 (the full-frame fetch otherwise starts only
+    # after the whole lax.map program finishes). Mutually exclusive with the
+    # tiles_per_program watchdog path (that one must sync between groups).
+    overlap = int(os.environ.get("BENCH_OVERLAP", 8))
 
     def frame():
         # whole frame as ONE program: per-launch overhead is high on
@@ -222,6 +229,18 @@ def main():
                     jnp.concatenate([p[0] for p in parts])[:n_tiles],
                     jnp.concatenate([p[1] for p in parts])[:n_tiles],
                 )
+        elif use_u32 and overlap > 1 and n_tiles % overlap == 0 and n_tiles > overlap:
+            per = n_tiles // overlap
+            parts = [
+                trace_rays_tiled_u32(
+                    dscene, cfg,
+                    o_tiles[g * per : (g + 1) * per],
+                    d_tiles[g * per : (g + 1) * per],
+                    w_dev,
+                )
+                for g in range(overlap)
+            ]  # all dispatched before any fetch
+            return np.concatenate([np.asarray(p) for p in parts])
         elif use_u32:
             outs = trace_rays_tiled_u32(dscene, cfg, o_tiles, d_tiles, w_dev)
         else:

@@ -1,0 +1,99 @@
+"""Overlapped fetch vs single-program frame (same relay session).
+
+The 1080p u32 frame = device compute (~540 ms in a good epoch) + a 8.3 MB
+host fetch that today starts only after the WHOLE lax.map program finishes.
+Splitting the frame into G programs and dispatching them all before
+fetching in order lets group g's fetch ride while g+1 computes — wall
+should drop toward device_total + fetch(one group) + dispatch overheads.
+
+Variants (one process, same session): single-program, then G in {2, 4, 8}.
+Also times an empty-ish dispatch round trip to bound per-program overhead.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from hslu_i.ba_raytracing.f2501_raytracer_tpu import RenderConfig, build_device_scene
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.models import build
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import trace_rays_tiled_u32
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import (
+    build_frame_rays,
+    plan_frame,
+)
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
+
+W0, H0 = (int(v) for v in os.environ.get("OVERLAP_RES", "1920x1080").split("x"))
+REPEATS = int(os.environ.get("OVERLAP_REPEATS", 4))
+
+cfg = RenderConfig(
+    width=W0, height=H0, scene_backface_culling=True,
+    reflections=True, light_reflections=True, refractions=True,
+    tile_rays=131072, max_nodes=48, weight_cutoff=1e-3,
+    compaction_ratio=64, loop_chunk=128, use_pallas=True,
+    triangle_block=64 if W0 * H0 >= 10**6 else 512,
+    device_encode=True, dedupe_aa=True,
+)
+scene = build("semesterbild", cfg)
+scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
+ds = build_device_scene(scene, cfg)
+plan = plan_frame(cfg)
+o_np, d_np = build_frame_rays(cfg, plan)
+o_t, d_t = jnp.asarray(o_np), jnp.asarray(d_np)
+w_dev = jnp.asarray(plan.weights)
+n_tiles = o_np.shape[0]
+print(f"{W0}x{H0}: {n_tiles} tiles of {o_np.shape[1]} rays", flush=True)
+
+# tiny dispatch round-trip cost
+tin = jnp.zeros((8, 128), jnp.float32)
+tiny = jax.jit(lambda x: x + 1.0)
+np.asarray(tiny(tin))
+t0 = time.monotonic()
+for _ in range(10):
+    np.asarray(tiny(tin))
+print(f"tiny dispatch+fetch round trip: {(time.monotonic()-t0)*100:.1f} ms each",
+      flush=True)
+
+
+def run(label, fn):
+    out = fn()  # compile
+    del out
+    ts = []
+    for _ in range(REPEATS):
+        t0 = time.monotonic()
+        fn()
+        ts.append((time.monotonic() - t0) * 1e3)
+    print(f"{label:24s}: {min(ts):8.1f} ms (all {[f'{t:.0f}' for t in ts]})",
+          flush=True)
+    return min(ts)
+
+
+def single():
+    return np.asarray(trace_rays_tiled_u32(ds, cfg, o_t, d_t, w_dev))
+
+
+base = run("single program", single)
+
+for G in (2, 4, 8):
+    if n_tiles % G:
+        continue
+    per = n_tiles // G
+
+    def grouped(per=per):
+        outs = [
+            trace_rays_tiled_u32(
+                ds, cfg, o_t[g * per : (g + 1) * per],
+                d_t[g * per : (g + 1) * per], w_dev,
+            )
+            for g in range(G)
+        ]  # all dispatched before any fetch
+        return np.concatenate([np.asarray(o) for o in outs])
+
+    run(f"G={G} overlapped", grouped)
