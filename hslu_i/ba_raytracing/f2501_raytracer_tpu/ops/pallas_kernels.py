@@ -37,6 +37,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .vecmath import F32_EPSILON
 
+
+def _vmem_params(ray_tile):
+    """Mosaic compiler params for the ray-tile kernels: tiles past 256 rays
+    overflow the default 16 MiB scoped-vmem budget (the flipped (B, RT)
+    pair tiles and the unrolled per-light carries are all live at once), so
+    raise the cap toward the chip's 128 MiB VMEM. Measured: RT=1024 was
+    411 KiB over the 16 MiB default (PERF.md round 3)."""
+    if ray_tile <= 256:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
 # plain python literals: jnp constants would be captured tracers
 INF = float("inf")
 BIG_IDX = 2**31 - 1
@@ -1100,84 +1111,83 @@ def _bigtri_occl_split(trb, sox, soy, soz, dx, dy, dz, maxd,
 
 
 
-def _pt_transforms(woop, tn, ptx, pty, ptz, need_n):
-    """Hoisted per-(ray, tri) Woop transforms of the hit point for one
-    block: returns (T_u(p), T_v(p), T_w(p), n̂·p), each (RT, B)."""
+def _pt_transforms_flip(blk, ptx, pty, ptz, need_n):
+    """Hoisted per-(tri, ray) Woop transforms of the hit point for one
+    pack block (B, 32): returns (T_u(p), T_v(p), T_w(p), ñ·p), each
+    (B, RT) — triangles on sublanes, rays on lanes. This is the layout the
+    big-primitive scan already uses (`_bigtri_tuv`): coefficient columns
+    (B, 1) lane-broadcast against flat (RT,) rays fill every vreg, where
+    the planar (RT, B=64) form ran half-width (PERF.md round 3)."""
 
-    def pf(k0):
+    def col(i):
+        return blk[:, i : i + 1]
+
+    def pf(c):
         return (
-            ptx[:, None] * woop[k0][None, :]
-            + pty[:, None] * woop[k0 + 3][None, :]
-            + ptz[:, None] * woop[k0 + 6][None, :]
-            + woop[k0 + 9][None, :]
+            ptx[None, :] * col(c)
+            + pty[None, :] * col(3 + c)
+            + ptz[None, :] * col(6 + c)
+            + col(9 + c)
         )
 
     Pn = None
     if need_n:
         Pn = (
-            ptx[:, None] * tn[0][None, :]
-            + pty[:, None] * tn[1][None, :]
-            + ptz[:, None] * tn[2][None, :]
+            ptx[None, :] * col(15)
+            + pty[None, :] * col(16)
+            + ptz[None, :] * col(17)
         )
     return pf(0), pf(1), pf(2), Pn
 
 
-def _lt_pair_update(
-    woop, nsq, tval, httr_f, tn, iorp, opp, metp, colrp, absn,
-    carry, lj, P, trans_block, backface_culling,
-):
-    """Shadow accumulation for ONE (light, block) pair tile from hoisted
-    point transforms (affine factorization above). Semantics identical to
-    `_tri_occl_comp`'s per-block compute (raytracer.rs:24-106)."""
+def _pair_flip_update(blk, carry, lj, P, trans_block, backface_culling):
+    """Shadow accumulation for ONE (light, block) pair tile in the flipped
+    (B, RT) layout from hoisted point transforms (affine factorization).
+    Semantics identical to `_tri_occl_comp`'s per-block compute
+    (raytracer.rs:24-106). `blk` is a (B, 32) pack block (trb lane map)."""
     dec, opq, fr, fg, fb = carry
     Pu, Pv, Pw, Pn = P
-    lpx, lpy, lpz = lj["lpx"], lj["lpy"], lj["lpz"]  # (1, 1)
+    lpx, lpy, lpz = lj["lpx"], lj["lpy"], lj["lpz"]  # (1, 1) scalars
 
-    def lf(k0):
-        return (
-            lpx * woop[k0][None, :]
-            + lpy * woop[k0 + 3][None, :]
-            + lpz * woop[k0 + 6][None, :]
-            + woop[k0 + 9][None, :]
-        )
+    def col(i):
+        return blk[:, i : i + 1]
+
+    def lf(c):  # light-point Woop transform, (B, 1)
+        return lpx * col(c) + lpy * col(3 + c) + lpz * col(6 + c) + col(9 + c)
 
     Du = lf(0) - Pu
     Dv = lf(1) - Pv
     Dw = lf(2) - Pw
-    el = lj["el"]  # (RT,1) = ε/|l-p|
+    el = lj["el"][None, :]  # (1, RT) = ε/|l-p|
     u_o = Pu + el * Du
     v_o = Pv + el * Dv
     w_o = Pw + el * Dw
     t = -w_o / Dw  # τ-parameterization (t/|l-p|)
     u = u_o + t * Du
     v = v_o + t * Dv
-    det = Dw * nsq[None, :]
-    httr = httr_f[None, :] != 0.0
+    det = Dw * col(12)
+    httr = col(14) != 0.0
     valid = (
-        (t > lj["epsT"])
+        (t > lj["epsT"][None, :])
         & (u >= 0.0)
         & (v >= 0.0)
         & (u + v < 1.0)
-        & (jnp.abs(det) > lj["epsD"])
-        & (tval[None, :] != 0.0)
+        & (jnp.abs(det) > lj["epsD"][None, :])
+        & (col(13) != 0.0)
     )
     if backface_culling or trans_block:
-        Ln = (
-            lpx * tn[0][None, :]
-            + lpy * tn[1][None, :]
-            + lpz * tn[2][None, :]
-        )
-        cos_nv = (Pn - Ln) * lj["inv_lt"]  # = -(l̂·n̂), true cosine
+        Ln = lpx * col(15) + lpy * col(16) + lpz * col(17)  # (B, 1)
+        cos_nv = (Pn - Ln) * lj["inv_lt"][None, :]  # = -(l̂·n̂), true cosine
     if backface_culling:
         valid &= (-cos_nv < 0.75) | httr
-    hit = valid & (t <= lj["maxdp"])
+    hit = valid & (t <= lj["maxdp"][None, :])
     if trans_block:
         # shadow Fresnel transmittance, red channel (material.rs:467-525
         # with other_ior=1; raytracer.rs:57-74)
-        ior = iorp[None, :]
-        met = metp[None, :]
-        col_r = colrp[None, :]
-        opv = opp[None, :]
+        ior = col(18)
+        met = col(20)
+        col_r = col(21)
+        opv = col(19)
         cos_theta = jnp.abs(cos_nv)
         is_inside = cos_nv < 0.0
         eta_t = jnp.where(is_inside, ior, 1.0 / ior)
@@ -1195,63 +1205,63 @@ def _lt_pair_update(
         io = jnp.float32(0.0)
     hit_f = jnp.where(hit, 1.0, 0.0)
     return (
-        dec + jnp.sum(hit_f * (1.0 - io), axis=1),
-        jnp.maximum(opq, jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=1)),
-        fr + jnp.sum(hit_f * absn[0][None, :], axis=1),
-        fg + jnp.sum(hit_f * absn[1][None, :], axis=1),
-        fb + jnp.sum(hit_f * absn[2][None, :], axis=1),
+        dec + jnp.sum(hit_f * (1.0 - io), axis=0),
+        jnp.maximum(opq, jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=0)),
+        fr + jnp.sum(hit_f * col(22), axis=0),
+        fg + jnp.sum(hit_f * col(23), axis=0),
+        fb + jnp.sum(hit_f * col(24), axis=0),
     )
 
 
 def _tri_occl_lights(
-    woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref,
-    met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
-    ptx, pty, ptz, lights, carries,
-    *, nb, backface_culling, use_aabb, block_has_trans, sb_sizes,
+    pack_ref, baabb_ref, ptx, pty, ptz, lights, carries,
+    *, nb, nb_trans, backface_culling, use_aabb,
 ):
-    """Shadow accumulation over triangle blocks for a CHUNK of lights,
-    block-outer / light-inner so the per-(ray, tri) point transforms are
-    computed once per block and shared by every light's scan. Per-(block,
-    light) alive gates (segment-AABB + opaque early-out, raytracer.rs:94-96)
-    skip work exactly as the light-outer form did. `lights` is a list of
-    per-light dicts, `carries` a matching tuple of (dec, opq, fr, fg, fb)."""
+    """Shadow accumulation over the (nb, B, 32) Morton pack for a CHUNK of
+    lights: a ROLLED fori_loop over blocks (two bodies total — transmissive
+    blocks first, then opaque; the pack orders them that way) in the flipped
+    (B, RT) layout, block-outer / light-inner so the per-(tri, ray) point
+    transforms are computed once per block and shared by every light's scan.
+    Per-(block, light) alive gates (segment-AABB + opaque early-out,
+    raytracer.rs:94-96) skip a block's pair math via lax.cond. The previous
+    design unrolled all nb blocks x C lights into straight-line code; at 26
+    blocks that thrashed the core's instruction memory — conditional
+    skipping ran 20x slower than the ~3% executed-pair rate warranted
+    (PERF.md round 3, scripts/tpu_shade_ablate.py)."""
     C = len(lights)
 
-    def block_alive(j, box_ref, idx, carry):
+    def block_alive(j, b, carry):
         lj = lights[j]
         gate = _gate_flat(
-            box_ref, idx, lj["sox"], lj["soy"], lj["soz"],
+            baabb_ref, b, lj["sox"], lj["soy"], lj["soz"],
             lj["invx"], lj["invy"], lj["invz"], lj["maxd"],
         )
         return gate & lj["reach"] & (carry[1] < 1.0)
 
-    def run_block(b, carries):
-        trans_block = block_has_trans[b] if block_has_trans else True
+    def body(b, carries, trans_block):
+        blk = pack_ref[b]  # (B, 32) dynamic block read
         need_n = backface_culling or trans_block
 
-        def pair(b, c, j, P):
-            return _lt_pair_update(
-                woop_ref[b], nsq_ref[b, 0], valid_ref[b, 0], httr_ref[b, 0],
-                tnorm_ref[b], ior_ref[b, 0], op_ref[b, 0], met_ref[b, 0],
-                colr_ref[b, 0], absn_ref[b],
-                c, lights[j], P, trans_block, backface_culling,
+        def pair(c, j, P):
+            return _pair_flip_update(
+                blk, c, lights[j], P, trans_block, backface_culling
             )
 
         if not use_aabb:
-            P = _pt_transforms(woop_ref[b], tnorm_ref[b], ptx, pty, ptz, need_n)
-            return tuple(pair(b, carries[j], j, P) for j in range(C))
+            P = _pt_transforms_flip(blk, ptx, pty, ptz, need_n)
+            return tuple(pair(carries[j], j, P) for j in range(C))
 
-        alive = [block_alive(j, aabb_ref, b, carries[j]) for j in range(C)]
-        anyb = jnp.any(alive[0])
+        alive = [jnp.any(block_alive(j, b, carries[j])) for j in range(C)]
+        anyb = alive[0]
         for a in alive[1:]:
-            anyb |= jnp.any(a)
+            anyb = anyb | a
 
         def do(cs):
-            P = _pt_transforms(woop_ref[b], tnorm_ref[b], ptx, pty, ptz, need_n)
+            P = _pt_transforms_flip(blk, ptx, pty, ptz, need_n)
             return tuple(
                 jax.lax.cond(
-                    jnp.any(alive[j]),
-                    lambda c, j=j: pair(b, c, j, P),
+                    alive[j],
+                    lambda c, j=j: pair(c, j, P),
                     lambda c: c,
                     cs[j],
                 )
@@ -1260,32 +1270,22 @@ def _tri_occl_lights(
 
         return jax.lax.cond(anyb, do, lambda cs: cs, carries)
 
-    groups = _superblock_groups(nb, sb_sizes)
-    for gi, grp in enumerate(groups):
-
-        def run_group(cs, grp=grp):
-            for b in grp:
-                cs = run_block(b, cs)
-            return cs
-
-        if use_aabb and len(grp) > 1:
-            alive_g = [block_alive(j, saabb_ref, gi, carries[j]) for j in range(C)]
-            anyg = jnp.any(alive_g[0])
-            for a in alive_g[1:]:
-                anyg |= jnp.any(a)
-            carries = jax.lax.cond(anyg, run_group, lambda cs: cs, carries)
-        else:
-            carries = run_group(carries)
+    if nb_trans:
+        carries = jax.lax.fori_loop(
+            0, nb_trans, lambda b, cs: body(b, cs, True), carries
+        )
+    if nb_trans < nb:
+        carries = jax.lax.fori_loop(
+            nb_trans, nb, lambda b, cs: body(b, cs, False), carries
+        )
     return carries
 
 
 def _light_sums(
-    lights_ref, sph_ref, trb_ref,
-    woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref, met_ref,
-    colr_ref, absn_ref, aabb_ref, saabb_ref,
+    lights_ref, sph_ref, trb_ref, pack_ref, baabb_ref,
     ptx, pty, ptz, nx, ny, nz, vwx, vwy, vwz, mcr, mcg, mcb, shin, valid,
-    *, n_lights, nb, eps_dist, backface_culling, use_aabb, bigtri_trans_rows,
-    block_has_trans, sb_sizes,
+    *, n_lights, nb, nb_trans, eps_dist, backface_culling, use_aabb,
+    bigtri_trans_rows,
 ):
     """Direct + specular light sums for one ray tile (flat lane fields):
     the shared shading core of `_light_shade_kernel` and the fused
@@ -1351,9 +1351,9 @@ def _light_sums(
                     sox=sox[j], soy=soy[j], soz=soz[j],
                     invx=invx[j], invy=invy[j], invz=invz[j],
                     maxd=maxd[j], reach=maxd[j] > 0.0,
-                    maxdp=maxdp[j][:, None], epsT=epsT[j][:, None],
-                    epsD=epsD[j][:, None], el=el[j][:, None],
-                    inv_lt=inv_lt[j][:, None],
+                    maxdp=maxdp[j], epsT=epsT[j],
+                    epsD=epsD[j], el=el[j],
+                    inv_lt=inv_lt[j],
                 )
             )
 
@@ -1380,11 +1380,10 @@ def _light_sums(
                 carries.append(sb_occl(0))
 
         carries = _tri_occl_lights(
-            woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref,
-            op_ref, met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
+            pack_ref, baabb_ref,
             ptx, pty, ptz, lights, tuple(carries),
-            nb=nb, backface_culling=backface_culling, use_aabb=use_aabb,
-            block_has_trans=block_has_trans, sb_sizes=sb_sizes,
+            nb=nb, nb_trans=nb_trans, backface_culling=backface_culling,
+            use_aabb=use_aabb,
         )
         dec = jnp.stack([c[0] for c in carries])  # (C, RT)
         opq = jnp.stack([c[1] for c in carries])
@@ -1446,44 +1445,37 @@ def _light_sums(
 
 
 def _light_shade_kernel(
-    lights_ref, sph_ref, trb_ref,
-    woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref, met_ref,
-    colr_ref, absn_ref, aabb_ref, saabb_ref,
+    lights_ref, sph_ref, trb_ref, pack_ref, baabb_ref,
     pt_ref, nrm_ref, view_ref, col_ref, shin_ref, valid_r_ref,
     direct_out, spec_out,
-    *, n_lights, nb, eps_dist, backface_culling, use_aabb, bigtri_trans_rows,
-    block_has_trans, sb_sizes,
+    *, n_lights, nb, nb_trans, eps_dist, backface_culling, use_aabb,
+    bigtri_trans_rows,
 ):
     sums = _light_sums(
-        lights_ref, sph_ref, trb_ref,
-        woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref,
-        met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
+        lights_ref, sph_ref, trb_ref, pack_ref, baabb_ref,
         pt_ref[0], pt_ref[1], pt_ref[2],
         nrm_ref[0], nrm_ref[1], nrm_ref[2],
         view_ref[0], view_ref[1], view_ref[2],
         col_ref[0], col_ref[1], col_ref[2],
         shin_ref[0], valid_r_ref[0] != 0.0,
-        n_lights=n_lights, nb=nb, eps_dist=eps_dist,
+        n_lights=n_lights, nb=nb, nb_trans=nb_trans, eps_dist=eps_dist,
         backface_culling=backface_culling, use_aabb=use_aabb,
-        bigtri_trans_rows=bigtri_trans_rows, block_has_trans=block_has_trans,
-        sb_sizes=sb_sizes,
+        bigtri_trans_rows=bigtri_trans_rows,
     )
     direct_out[:] = jnp.stack(sums[0:3])
     spec_out[:] = jnp.stack(sums[3:6])
 
 
 def _shade_eval_kernel(
-    lights_ref, sph_ref, trb_ref,
-    woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref, met_ref,
-    colr_ref, absn_ref, aabb_ref, saabb_ref,
+    lights_ref, sph_ref, trb_ref, pack_ref, baabb_ref,
     pt_ref, nrm_ref, view_ref, col_ref, shin_ref, valid_r_ref,
     t_ref, w_ref, rior_ref, budget_ref, frefl_ref,
     httr_r_ref, met_r_ref, hior_r_ref, opac_r_ref, boost_r_ref,
     contrib_out,
     rfl_o_out, rfl_d_out, rfl_w_out, rfl_b_out, rfl_m_out,
     rfr_o_out, rfr_d_out, rfr_w_out, rfr_b_out, rfr_i_out, rfr_m_out,
-    *, n_lights, nb, eps_dist, backface_culling, use_aabb, bigtri_trans_rows,
-    block_has_trans, sb_sizes, reflections, refractions, refl_max, refr_max,
+    *, n_lights, nb, nb_trans, eps_dist, backface_culling, use_aabb,
+    bigtri_trans_rows, reflections, refractions, refl_max, refr_max,
     weight_cutoff, air,
 ):
     """Fused shading + shading-tree node evaluation: the light scan plus
@@ -1503,14 +1495,11 @@ def _shade_eval_kernel(
     RT = ptx.shape[0]
 
     dr, dg, db, spr, spg, spb = _light_sums(
-        lights_ref, sph_ref, trb_ref,
-        woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref, ior_ref, op_ref,
-        met_ref, colr_ref, absn_ref, aabb_ref, saabb_ref,
+        lights_ref, sph_ref, trb_ref, pack_ref, baabb_ref,
         ptx, pty, ptz, nx, ny, nz, vwx, vwy, vwz, mcr, mcg, mcb, shin, hval,
-        n_lights=n_lights, nb=nb, eps_dist=eps_dist,
+        n_lights=n_lights, nb=nb, nb_trans=nb_trans, eps_dist=eps_dist,
         backface_culling=backface_culling, use_aabb=use_aabb,
-        bigtri_trans_rows=bigtri_trans_rows, block_has_trans=block_has_trans,
-        sb_sizes=sb_sizes,
+        bigtri_trans_rows=bigtri_trans_rows,
     )
 
     t = t_ref[0]
@@ -1674,20 +1663,19 @@ def _shade_eval_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_lights", "eps_dist", "backface_culling", "ray_tile", "use_aabb",
-        "interpret", "bigtri_trans_rows", "block_has_trans", "sb_sizes",
+        "n_lights", "n_trans_blocks", "eps_dist", "backface_culling",
+        "ray_tile", "use_aabb", "interpret", "bigtri_trans_rows",
         "reflections", "refractions", "refl_max", "refr_max", "weight_cutoff",
         "air",
     ),
 )
 def pallas_shade_eval(
-    light_pack, sph_pack, trb_pack,
-    tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
-    tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb, tri_saabb,
+    light_pack, sph_pack, trb_pack, tri_blk_pack, tri_blk_aabb,
     point, normal, view, color, shininess, valid,
     t, w, rior, budget, from_refl, h_httr, h_met, h_ior, h_opac, h_boost,
-    n_lights, eps_dist, backface_culling=False, ray_tile=256, use_aabb=True,
-    interpret=False, bigtri_trans_rows=8, block_has_trans=(), sb_sizes=(),
+    n_lights, eps_dist, n_trans_blocks=0, backface_culling=False,
+    ray_tile=256, use_aabb=True,
+    interpret=False, bigtri_trans_rows=8,
     reflections=True, refractions=True, refl_max=5, refr_max=10,
     weight_cutoff=0.0, air=1.000293,
 ):
@@ -1698,7 +1686,7 @@ def pallas_shade_eval(
              refr: (o, d, w (R,3); budget (R,) i32; ior (R,); mask (R,))).
     """
     R = point.shape[0]
-    nb, _, B = tri_woop.shape
+    nb, B, _ = tri_blk_pack.shape
     assert R % ray_tile == 0, (R, ray_tile)
     L_pad = light_pack.shape[0]
 
@@ -1716,12 +1704,11 @@ def pallas_shade_eval(
             _shade_eval_kernel,
             n_lights=n_lights,
             nb=nb,
+            nb_trans=n_trans_blocks,
             eps_dist=eps_dist,
             backface_culling=backface_culling,
             use_aabb=use_aabb,
             bigtri_trans_rows=bigtri_trans_rows,
-            block_has_trans=block_has_trans,
-            sb_sizes=sb_sizes,
             reflections=reflections,
             refractions=refractions,
             refl_max=refl_max,
@@ -1734,18 +1721,8 @@ def pallas_shade_eval(
             full((L_pad, 8)),
             full(sph_pack.shape),
             full(trb_pack.shape),
-            full((nb, 12, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 3, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 3, B)),
-            smem(tri_aabb.shape),
-            smem(tri_saabb.shape),
+            full((nb, B, 32)),
+            smem(tri_blk_aabb.shape),
             rayt((3, ray_tile)),
             rayt((3, ray_tile)),
             rayt((3, ray_tile)),
@@ -1785,11 +1762,9 @@ def pallas_shade_eval(
             jax.ShapeDtypeStruct((1, R), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_vmem_params(ray_tile),
     )(
-        light_pack, sph_pack, trb_pack,
-        tri_woop, tri_nsq[:, None], tri_valid[:, None], tri_httr[:, None],
-        tri_normal3, tri_ior[:, None], tri_op[:, None], tri_met[:, None],
-        tri_colr[:, None], tri_absn, tri_aabb, tri_saabb,
+        light_pack, sph_pack, trb_pack, tri_blk_pack, tri_blk_aabb,
         point.T, normal.T, view.T, color.T, shininess[None, :], valid[None, :],
         t[None, :], w.T, rior[None, :], budget[None, :], from_refl[None, :],
         h_httr[None, :], h_met[None, :], h_ior[None, :], h_opac[None, :],
@@ -1809,23 +1784,21 @@ def pallas_shade_eval(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_lights", "eps_dist", "backface_culling", "ray_tile", "use_aabb",
-        "interpret", "bigtri_trans_rows", "block_has_trans", "sb_sizes",
+        "n_lights", "n_trans_blocks", "eps_dist", "backface_culling",
+        "ray_tile", "use_aabb", "interpret", "bigtri_trans_rows",
     ),
 )
 def pallas_light_shade(
-    light_pack, sph_pack, trb_pack,
-    tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
-    tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb, tri_saabb,
+    light_pack, sph_pack, trb_pack, tri_blk_pack, tri_blk_aabb,
     point, normal, view, color, shininess, valid,
-    n_lights, eps_dist, backface_culling=False, ray_tile=256, use_aabb=True,
-    interpret=False, bigtri_trans_rows=8, block_has_trans=(), sb_sizes=(),
+    n_lights, eps_dist, n_trans_blocks=0, backface_culling=False,
+    ray_tile=256, use_aabb=True, interpret=False, bigtri_trans_rows=8,
 ):
     """Direct + specular lighting for R rays over n_lights point lights
     (shadow occlusion + shading fused). Returns (direct (R,3), spec (R,3)).
     `shininess`/`valid` are flat (R,); per-ray vectors are (R,3)."""
     R = point.shape[0]
-    nb, _, B = tri_woop.shape
+    nb, B, _ = tri_blk_pack.shape
     assert R % ray_tile == 0, (R, ray_tile)
     L_pad = light_pack.shape[0]
 
@@ -1843,12 +1816,11 @@ def pallas_light_shade(
             _light_shade_kernel,
             n_lights=n_lights,
             nb=nb,
+            nb_trans=n_trans_blocks,
             eps_dist=eps_dist,
             backface_culling=backface_culling,
             use_aabb=use_aabb,
             bigtri_trans_rows=bigtri_trans_rows,
-            block_has_trans=block_has_trans,
-            sb_sizes=sb_sizes,
         ),
         grid=(R // ray_tile,),
         in_specs=[
@@ -1857,18 +1829,8 @@ def pallas_light_shade(
             full((L_pad, 8)),
             full(sph_pack.shape),
             full(trb_pack.shape),
-            full((nb, 12, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 3, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 3, B)),
-            smem(tri_aabb.shape),
-            smem(tri_saabb.shape),
+            full((nb, B, 32)),
+            smem(tri_blk_aabb.shape),
             rayt((3, ray_tile)),
             rayt((3, ray_tile)),
             rayt((3, ray_tile)),
@@ -1882,11 +1844,9 @@ def pallas_light_shade(
             jax.ShapeDtypeStruct((3, R), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_vmem_params(ray_tile),
     )(
-        light_pack, sph_pack, trb_pack,
-        tri_woop, tri_nsq[:, None], tri_valid[:, None], tri_httr[:, None],
-        tri_normal3, tri_ior[:, None], tri_op[:, None], tri_met[:, None],
-        tri_colr[:, None], tri_absn, tri_aabb, tri_saabb,
+        light_pack, sph_pack, trb_pack, tri_blk_pack, tri_blk_aabb,
         point.T, normal.T, view.T, color.T, shininess[None, :], valid[None, :],
     )
     return direct.T, spec.T

@@ -93,27 +93,16 @@ def calculate_lighting(
             scene.light_pack,
             scene.sph_pack,
             scene.trb_pack,
-            scene.tri_woop,
-            scene.tri_nsq,
-            scene.tri_valid_f,
-            scene.tri_httr_f,
-            scene.tri_normal3,
-            scene.tri_ior,
-            scene.tri_op,
-            scene.tri_met,
-            scene.tri_colr,
-            scene.tri_absn,
-            scene.tri_aabb,
-            scene.tri_saabb,
+            scene.tri_blk_pack,
+            scene.tri_blk_aabb,
             *args,
             n_lights=scene.n_lights,
             eps_dist=float(epsilon_distance),
+            n_trans_blocks=scene.n_trans_blocks,
             backface_culling=cfg.backface_culling,
             ray_tile=cfg.kernel_ray_tile,
             interpret=cfg.interpret,
             bigtri_trans_rows=scene.bigtri_trans_rows,
-            block_has_trans=scene.block_has_trans,
-            sb_sizes=scene.sb_sizes,
         )
         return ambient + direct[:R], spec[:R]
 

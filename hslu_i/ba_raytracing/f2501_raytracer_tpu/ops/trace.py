@@ -248,27 +248,16 @@ def _eval_node_fused(scene, cfg, eps_dist, hit, d, ior, weight, budget, from_ref
         scene.light_pack,
         scene.sph_pack,
         scene.trb_pack,
-        scene.tri_woop,
-        scene.tri_nsq,
-        scene.tri_valid_f,
-        scene.tri_httr_f,
-        scene.tri_normal3,
-        scene.tri_ior,
-        scene.tri_op,
-        scene.tri_met,
-        scene.tri_colr,
-        scene.tri_absn,
-        scene.tri_aabb,
-        scene.tri_saabb,
+        scene.tri_blk_pack,
+        scene.tri_blk_aabb,
         *args,
         n_lights=scene.n_lights,
         eps_dist=float(eps_dist),
+        n_trans_blocks=scene.n_trans_blocks,
         backface_culling=cfg.backface_culling,
         ray_tile=cfg.kernel_ray_tile,
         interpret=cfg.interpret,
         bigtri_trans_rows=scene.bigtri_trans_rows,
-        block_has_trans=scene.block_has_trans,
-        sb_sizes=scene.sb_sizes,
         reflections=cfg.reflections,
         refractions=cfg.refractions,
         refl_max=int(cfg.reflection_max_depth),

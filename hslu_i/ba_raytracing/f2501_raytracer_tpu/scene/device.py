@@ -139,6 +139,12 @@ class DeviceScene:
     # [cx,cy,cz,rsq,ior,op,met,colr,httr,absr,absg,absb,valid,0,0,0]
     light_pack: jax.Array
     sph_pack: jax.Array
+    # rolled/flipped shadow-scan pack: (nb, B, 32) one Morton block per
+    # leading index, triangles on sublanes, trb_pack lane map; blocks
+    # reordered transmissive-first with its own AABB table (see
+    # build_device_scene) — consumed by the rolled light-kernel block loop
+    tri_blk_pack: jax.Array
+    tri_blk_aabb: jax.Array  # (nb, 8), blk_pack block order
     # big primitives (walls/floors): (P_pad, 32), one triangle per SUBLANE
     # row — lanes 0-11 woop, 12 |ñ|², 13 valid, 14 httr, 15-17 normal,
     # 18 ior, 19 opacity, 20 metallic, 21 color.r, 22-24 absorption; object
@@ -148,6 +154,8 @@ class DeviceScene:
 
     # static metadata
     n_lights: int = dataclasses.field(metadata=dict(static=True))
+    # leading blocks of tri_blk_pack containing transmissive triangles
+    n_trans_blocks: int = dataclasses.field(metadata=dict(static=True))
     n_spheres: int = dataclasses.field(metadata=dict(static=True))
     n_triangles: int = dataclasses.field(metadata=dict(static=True))
     tri_block: int = dataclasses.field(metadata=dict(static=True))
@@ -452,6 +460,39 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     mat_pack[:, 9:12] = obj_normal
     mat_pack[:S_pad, 9:12] = sph_center  # sphere rows: center for the normal
 
+    # ---- rolled/flipped shadow-scan pack ---------------------------------
+    # (nb, B, 32): one Morton block per leading index, triangles on
+    # SUBLANES, property planes on LANES (the trb_pack lane map). This is
+    # the layout the rolled light-kernel block loop consumes: coefficient
+    # columns (B, 1) broadcast against flat (RT,) rays into fully-filled
+    # (B, RT) pair tiles (vs the planar (RT, B) form whose 64-lane tiles run
+    # half-width), and ONE loop body serves every block (the 26x-unrolled
+    # per-block code thrashed instruction memory — PERF.md round 3).
+    # Blocks with any transmissive triangle are ordered FIRST so only the
+    # leading n_trans_blocks blocks run the shadow-Fresnel body. Shadow
+    # accumulation is order-free, so this pack may reorder blocks freely as
+    # long as it carries its own AABB table; the cast path's planar arrays
+    # and object indexing are untouched.
+    httr_blk = mat_has_trans[tri_slice].reshape(nb, B)
+    blk_pack = np.zeros((nb, B, 32), np.float32)
+    blk_pack[:, :, 0:12] = woop4.reshape(nb, B, 12)
+    blk_pack[:, :, 12] = nsq.reshape(nb, B)
+    blk_pack[:, :, 13] = tvalid.reshape(nb, B).astype(np.float32)
+    blk_pack[:, :, 14] = httr_blk.astype(np.float32)
+    blk_pack[:, :, 15:18] = tnormal.reshape(nb, B, 3)
+    blk_pack[:, :, 18] = np.where(
+        tvalid.reshape(nb, B), mat_ior[tri_slice].reshape(nb, B), 1.0
+    )  # padding ior 1.0 keeps fresnel math finite
+    blk_pack[:, :, 19] = mat_opacity[tri_slice].reshape(nb, B)
+    blk_pack[:, :, 20] = mat_metallic[tri_slice].reshape(nb, B)
+    blk_pack[:, :, 21] = mat_color[tri_slice, 0].reshape(nb, B)
+    blk_pack[:, :, 22:25] = mat_absorption[tri_slice].reshape(nb, B, 3)
+    blk_has_trans = httr_blk.any(axis=1)
+    blk_order = np.argsort(~blk_has_trans, kind="stable")
+    blk_pack = blk_pack[blk_order]
+    blk_aabb = aabb[blk_order]
+    n_trans_blocks = int(blk_has_trans.sum())
+
     return DeviceScene(
         sph_center=jnp.asarray(sph_center),
         sph_r_sq=jnp.asarray(sph_r_sq),
@@ -486,6 +527,9 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         light_pack=jnp.asarray(light_pack),
         sph_pack=jnp.asarray(sph_pack),
         trb_pack=jnp.asarray(trb_pack),
+        tri_blk_pack=jnp.asarray(blk_pack),
+        tri_blk_aabb=jnp.asarray(blk_aabb),
+        n_trans_blocks=n_trans_blocks,
         n_lights=L_real,
         n_spheres=S_pad,
         n_triangles=T_pad,

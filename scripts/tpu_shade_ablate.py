@@ -1,0 +1,171 @@
+"""Ablation of the fused light/shadow kernel at bench shapes (round 3).
+
+Context: utilization account (PERF.md) shows the kernels achieve <1% of
+the empirical 63 Tflop/s VPU peak, and the CPU gate diagnostic
+(scripts/gate_stats.py) shows only ~3% of (light, block) Morton pairs
+execute — so Morton pair MATH is small and the time must sit in fixed
+per-instance work. This script times `pallas_light_shade` (the shading
+core shared with shade_eval) with pieces disabled one at a time, in ONE
+relay session, on a REAL primary-hit wavefront:
+
+  full        — unmodified kernel
+  no_morton   — Morton-block scan removed (gates + pair math)
+  gates_only  — Morton gates/conds kept, pair math removed
+  no_gates    — pair math for ALL blocks, no gates/conds (use_aabb=False)
+  no_bigsph   — sphere + big-triangle shadow scans removed
+  flat_only   — no_morton + no_bigsph: per-light flat shading math only
+
+Each variant monkeypatches module internals and wraps the unjitted entry
+in a FRESH jax.jit (the public entry's jit cache would otherwise reuse the
+unpatched trace).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from hslu_i.ba_raytracing.f2501_raytracer_tpu import RenderConfig, build_device_scene
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.models import build
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops import pallas_kernels as PK
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.intersect import cast_rays
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.vecmath import normalized
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import (
+    build_frame_rays,
+    plan_frame,
+)
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
+
+W0, H0 = 1920, 1080
+RT = int(os.environ.get("RT", 256))
+R = 131072
+
+cfg = RenderConfig(
+    width=W0, height=H0, reflections=True, refractions=True,
+    light_reflections=True, scene_backface_culling=True, use_pallas=True,
+    triangle_block=64, kernel_ray_tile=RT,
+)
+scene = build("semesterbild", cfg)
+scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
+ds = build_device_scene(scene, cfg)
+plan = plan_frame(cfg)
+o_np, d_np = build_frame_rays(cfg, plan)
+o = jnp.asarray(o_np.reshape(-1, 3)[4 * R : 5 * R])
+d = normalized(jnp.asarray(d_np.reshape(-1, 3)[4 * R : 5 * R]))
+hit = cast_rays(ds, o, d, cfg.backface_culling, True)
+jax.block_until_ready(hit.point)
+print(f"wavefront: {R} rays, {float(jnp.mean(hit.valid))*100:.1f}% hit; "
+      f"nb={ds.tri_woop.shape[0]} B={ds.tri_woop.shape[2]} RT={RT} "
+      f"L={ds.n_lights}", flush=True)
+
+view = d
+args = (hit.point, hit.normal, view, hit.color, hit.shininess,
+        hit.valid.astype(jnp.float32))
+static_kw = dict(
+    n_lights=ds.n_lights, eps_dist=float(cfg.camera.epsilon_distance),
+    n_trans_blocks=ds.n_trans_blocks,
+    backface_culling=cfg.backface_culling, ray_tile=RT,
+    bigtri_trans_rows=ds.bigtri_trans_rows,
+)
+
+orig_occl_lights = PK._tri_occl_lights
+orig_pair = PK._pair_flip_update
+orig_sph = PK._sphere_occl_comp
+orig_big = PK._bigtri_occl_split
+
+
+def occl_identity(*a, **kw):
+    return a[6]  # carries untouched (rolled signature)
+
+
+def pair_trivial(blk, carry, lj, P, trans_block, backface_culling):
+    # keep a data dependence on P so the gates/conds can't fold away
+    dec, opq, fr, fg, fb = carry
+    return (dec + 0.0 * jnp.sum(P[0], axis=0), opq, fr, fg, fb)
+
+
+def zeros_occl(sph, sox, soy, soz, dx, dy, dz, maxd, backface_culling=False):
+    z = jnp.zeros_like(sox)
+    return z + 0.0 * sox, z, z, z, z
+
+
+def zeros_big(trb, sox, soy, soz, dx, dy, dz, maxd, backface_culling, rows):
+    z = jnp.zeros_like(sox)
+    return z + 0.0 * sox, z, z, z, z
+
+
+VARIANTS = {
+    "full": {},
+    "no_morton": {"_tri_occl_lights": occl_identity},
+    "gates_only": {"_pair_flip_update": pair_trivial},
+    "no_gates": {"use_aabb": False},
+    "no_bigsph": {"_sphere_occl_comp": zeros_occl, "_bigtri_occl_split": zeros_big},
+    "flat_only": {
+        "_tri_occl_lights": occl_identity,
+        "_sphere_occl_comp": zeros_occl,
+        "_bigtri_occl_split": zeros_big,
+    },
+}
+
+only = [v for v in os.environ.get("VARIANTS", "").split(",") if v]
+if only:
+    VARIANTS = {k: v for k, v in VARIANTS.items() if k in only}
+# ray-tile sweep INSIDE one relay session (session-to-session variance is
+# 3-4x; only same-session ratios are load-bearing — PERF.md)
+RTS = [int(r) for r in os.environ.get("RTS", str(RT)).split(",")]
+
+results = {}
+for name, patches in VARIANTS.items():
+    patches = dict(patches)
+    use_aabb = patches.pop("use_aabb", True)
+    for attr, fn in patches.items():
+        setattr(PK, attr, fn)
+    try:
+        for rt in RTS:
+            kw = dict(static_kw, ray_tile=rt, use_aabb=use_aabb)
+            f = jax.jit(
+                lambda *a, kw=kw: PK.pallas_light_shade.__wrapped__(
+                    ds.light_pack, ds.sph_pack, ds.trb_pack,
+                    ds.tri_blk_pack, ds.tri_blk_aabb,
+                    *a, **kw,
+                )
+            )
+            tag = f"{name}@{rt}"
+            try:
+                t0 = time.monotonic()
+                out = f(*args)
+                jax.block_until_ready(out)
+                np.asarray(out[0])[0, 0]
+                comp = time.monotonic() - t0
+            except Exception as e:
+                print(f"{tag:16s}: FAILED {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:120]}", flush=True)
+                continue
+            ts = []
+            for _ in range(6):
+                t0 = time.monotonic()
+                out = f(*args)
+                jax.block_until_ready(out)
+                ts.append((time.monotonic() - t0) * 1e3)
+            ms = min(ts)
+            results[tag] = ms
+            print(f"{tag:16s}: {ms:8.2f} ms/tile-kernel "
+                  f"({ms * 1e3 / (R // rt):6.1f} us/instance) compile {comp:.0f}s "
+                  f"checksum {float(jnp.sum(out[0])):.4g}", flush=True)
+    finally:
+        PK._tri_occl_lights = orig_occl_lights
+        PK._pair_flip_update = orig_pair
+        PK._sphere_occl_comp = orig_sph
+        PK._bigtri_occl_split = orig_big
+
+full = results.get(f"full@{RTS[0]}")
+if full:
+    print("\nshares of full:")
+    for k, v in results.items():
+        print(f"  {k:16s}: {v:8.2f} ms  ({(full - v) / full * 100:+5.1f}% removed)")
