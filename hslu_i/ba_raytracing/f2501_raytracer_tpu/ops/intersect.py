@@ -284,11 +284,7 @@ def cast_rays(
         (op, dp), _ = _pad_rays((o, d), ray_tile)
         tt, tidx = pallas_cast_triangles(
             scene.trb_pack,
-            scene.tri_woop,
-            scene.tri_nsq,
-            scene.tri_valid_f,
-            scene.tri_httr_f,
-            scene.tri_normal3,
+            scene.tri_cast_pack,
             scene.tri_aabb,
             scene.tri_saabb,
             op,

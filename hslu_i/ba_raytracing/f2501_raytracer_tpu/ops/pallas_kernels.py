@@ -298,20 +298,14 @@ def _bigtri_occl_comp(trb, sox, soy, soz, dx, dy, dz, maxd, backface_culling, wi
 
 
 def _cast_kernel(
-    o4_ref, d_ref, op_ref, dp_ref, trb_ref, woop_ref, nsq_ref, valid_ref,
-    httr_ref, tnorm_ref, aabb_ref, saabb_ref, t_out, idx_out, *, nb,
-    block_size, bigtri_slots, backface_culling, use_aabb, sb_sizes,
+    op_ref, dp_ref, trb_ref, pack_ref, aabb_ref, saabb_ref, t_out, idx_out,
+    *, nb, block_size, bigtri_slots, backface_culling, use_aabb, sb_sizes,
 ):
-    o4 = o4_ref[:]
-    d = d_ref[:]
-    o3 = o4[:, 0:3]
-    RT = o4.shape[0]
-
     # ---- big-primitive pack: nearest hit on the (P, RT) sublane tile ----
     # local index space: big primitive p -> p, Morton block b column c ->
-    # bigtri_slots + b*B + c (the caller adds the sphere offset). Ray
-    # components come from the PLANAR (3, RT) inputs — slicing a column of
-    # the (RT, 4) sublane-major o4 would be a cross-layout gather.
+    # bigtri_slots + b*B + c (the caller adds the sphere offset). All math
+    # runs from the PLANAR (3, RT) ray inputs in the flipped (prims, RT)
+    # orientation — triangles/primitives on sublanes, rays on lanes.
     trb = trb_ref[:]
     sox, soy, soz = op_ref[0], op_ref[1], op_ref[2]
     dlx, dly, dlz = dp_ref[0], dp_ref[1], dp_ref[2]
@@ -330,32 +324,41 @@ def _cast_kernel(
         jnp.where(bt == bt_min[None, :], rows, jnp.int32(BIG_IDX)), axis=0
     )
 
-    # running minimum carried in registers; outputs written once at the end.
-    # NB: block indices are python ints — dynamic VMEM indexing (traced
-    # index) costs ~milliseconds per access on TPU.
+    # running minimum carried in registers as flat (RT,) lane vectors;
+    # outputs written once at the end (read-modify-write of output VMEM per
+    # block serialized the kernel ~1000x, PERF.md)
     carry = (
-        bt_min.reshape(RT, 1),                                    # best_t
-        jnp.where(jnp.isfinite(bt_min), bidx, BIG_IDX).reshape(RT, 1),  # best_idx
+        bt_min,                                         # best_t (RT,)
+        jnp.where(jnp.isfinite(bt_min), bidx, BIG_IDX),  # best_idx (RT,)
     )
+    if use_aabb:
+        invx, invy, invz = 1.0 / dlx, 1.0 / dly, 1.0 / dlz
 
+    # ---- Morton blocks: ROLLED fori over the (nb, B, 32) cast pack in the
+    # flipped (B, RT) layout — one loop body serves every block (the
+    # unrolled per-block form thrashed instruction memory; the planar
+    # (RT, B=64) tiles ran half-width — PERF.md round 3)
     def compute(b, c):
         best_t, best_idx = c
-        woop = woop_ref[b]
-        t, valid = _tri_validity(woop, nsq_ref[b, 0], valid_ref[b, 0], o4, d)
+        blk = pack_ref[b]  # (B, 32) dynamic block read
+        t, valid, httr = _bigtri_validity(blk, sox, soy, soz, dlx, dly, dlz)
         if backface_culling:
-            cos_dn = _cos_planes(d, tnorm_ref[b])
-            valid &= (cos_dn < 0.75) | (httr_ref[b, 0][None, :] != 0.0)
+            cos_dn = (
+                dlx[None, :] * blk[:, 15:16]
+                + dly[None, :] * blk[:, 16:17]
+                + dlz[None, :] * blk[:, 17:18]
+            )
+            valid &= (cos_dn < 0.75) | httr
         t = jnp.where(valid, t, INF)
-        tmin = jnp.min(t, axis=1, keepdims=True)
-        cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        tmin = jnp.min(t, axis=0)  # (RT,)
+        trows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
         idx = jnp.min(
             jnp.where(
-                t == tmin,
-                cols + (bigtri_slots + b * block_size),
+                t == tmin[None, :],
+                trows + (bigtri_slots + b * block_size),
                 jnp.int32(BIG_IDX),
             ),
-            axis=1,
-            keepdims=True,
+            axis=0,
         )
         closer = tmin < best_t
         return jnp.where(closer, tmin, best_t), jnp.where(closer, idx, best_idx)
@@ -366,26 +369,30 @@ def _cast_kernel(
         # per-ray t-limit: a block farther than THIS ray's current best hit
         # can't improve it; blocks are stored front-to-back so best_t
         # tightens early (scene/device.py)
-        gate = jnp.any(_block_gate(aabb_ref[b], o3, d, c[0][:, 0]))
+        gate = jnp.any(
+            _gate_flat(aabb_ref, b, sox, soy, soz, invx, invy, invz, c[0])
+        )
         return jax.lax.cond(gate, lambda cc: compute(b, cc), lambda cc: cc, c)
 
     groups = _superblock_groups(nb, sb_sizes)
     for gi, grp in enumerate(groups):
 
         def run_group(c, grp=grp):
-            for b in grp:
-                c = run_block(b, c)
-            return c
+            return jax.lax.fori_loop(grp.start, grp.stop, run_block, c)
 
         if use_aabb and len(grp) > 1:
             # two-level cull: one slab test skips the whole superblock
-            gate = jnp.any(_block_gate(saabb_ref[gi], o3, d, carry[0][:, 0]))
+            gate = jnp.any(
+                _gate_flat(
+                    saabb_ref, gi, sox, soy, soz, invx, invy, invz, carry[0]
+                )
+            )
             carry = jax.lax.cond(gate, run_group, lambda c: c, carry)
         else:
             carry = run_group(carry)
 
-    t_out[:] = carry[0]
-    idx_out[:] = carry[1]
+    t_out[:] = carry[0][None, :]
+    idx_out[:] = carry[1][None, :]
 
 
 @functools.partial(
@@ -395,8 +402,8 @@ def _cast_kernel(
     ),
 )
 def pallas_cast_triangles(
-    trb_pack, tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3, tri_aabb,
-    tri_saabb, o, d, backface_culling=False, ray_tile=256, use_aabb=True,
+    trb_pack, tri_cast_pack, tri_aabb, tri_saabb, o, d,
+    backface_culling=False, ray_tile=256, use_aabb=True,
     interpret=False, sb_sizes=(),
 ):
     """Nearest triangle hit over the big-primitive pack + Morton blocks:
@@ -404,16 +411,15 @@ def pallas_cast_triangles(
     s -> P_pad + s. The whole triangle SoA lives in VMEM; R must be a
     multiple of ray_tile."""
     R = o.shape[0]
-    nb, _, B = tri_woop.shape
+    nb, B, _ = tri_cast_pack.shape
     P_pad = trb_pack.shape[0]
     assert R % ray_tile == 0, (R, ray_tile)
-    o4 = jnp.concatenate([o, jnp.ones((R, 1), o.dtype)], axis=1)
 
     def full(s):
         return pl.BlockSpec(s, lambda i: tuple(0 for _ in s), memory_space=pltpu.VMEM)
 
-    def ray(s):
-        return pl.BlockSpec(s, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    def smem(s):
+        return pl.BlockSpec(s, lambda i: tuple(0 for _ in s), memory_space=pltpu.SMEM)
 
     def rayt(s):  # per-ray planes: rays on the LANE axis
         return pl.BlockSpec(s, lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -430,28 +436,22 @@ def pallas_cast_triangles(
         ),
         grid=(R // ray_tile,),
         in_specs=[
-            ray((ray_tile, 4)),
-            ray((ray_tile, 3)),
             rayt((3, ray_tile)),
             rayt((3, ray_tile)),
             full(trb_pack.shape),
-            full((nb, 12, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 1, B)),
-            full((nb, 3, B)),
-            full((nb, 8)),
-            full(tri_saabb.shape),
+            full((nb, B, 32)),
+            smem(tri_aabb.shape),
+            smem(tri_saabb.shape),
         ],
-        out_specs=[ray((ray_tile, 1)), ray((ray_tile, 1))],
+        out_specs=[rayt((1, ray_tile)), rayt((1, ray_tile))],
         out_shape=[
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
         ],
         interpret=interpret,
-    )(o4, d, o.T, d.T, trb_pack, tri_woop, tri_nsq[:, None], tri_valid[:, None],
-      tri_httr[:, None], tri_normal3, tri_aabb, tri_saabb)
-    return t_out[:, 0], idx_out[:, 0]
+        compiler_params=_vmem_params(ray_tile),
+    )(o.T, d.T, trb_pack, tri_cast_pack, tri_aabb, tri_saabb)
+    return t_out[0], idx_out[0]
 
 
 # ---------------------------------------------------------------------------

@@ -145,6 +145,10 @@ class DeviceScene:
     # build_device_scene) — consumed by the rolled light-kernel block loop
     tri_blk_pack: jax.Array
     tri_blk_aabb: jax.Array  # (nb, 8), blk_pack block order
+    # same pack in CAST order (front-to-back Morton blocks, slot indices
+    # aligned with the planar arrays / mat_pack rows) for the rolled
+    # nearest-hit scan; AABB table = tri_aabb
+    tri_cast_pack: jax.Array
     # big primitives (walls/floors): (P_pad, 32), one triangle per SUBLANE
     # row — lanes 0-11 woop, 12 |ñ|², 13 valid, 14 httr, 15-17 normal,
     # 18 ior, 19 opacity, 20 metallic, 21 color.r, 22-24 absorption; object
@@ -487,6 +491,10 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     blk_pack[:, :, 20] = mat_metallic[tri_slice].reshape(nb, B)
     blk_pack[:, :, 21] = mat_color[tri_slice, 0].reshape(nb, B)
     blk_pack[:, :, 22:25] = mat_absorption[tri_slice].reshape(nb, B, 3)
+    # cast-order copy BEFORE the trans-first permutation: the nearest-hit
+    # scan needs the front-to-back block order (per-ray t-limit pruning)
+    # and local slot indices matching the planar arrays / mat_pack rows
+    cast_pack = blk_pack.copy()
     blk_has_trans = httr_blk.any(axis=1)
     blk_order = np.argsort(~blk_has_trans, kind="stable")
     blk_pack = blk_pack[blk_order]
@@ -529,6 +537,7 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
         trb_pack=jnp.asarray(trb_pack),
         tri_blk_pack=jnp.asarray(blk_pack),
         tri_blk_aabb=jnp.asarray(blk_aabb),
+        tri_cast_pack=jnp.asarray(cast_pack),
         n_trans_blocks=n_trans_blocks,
         n_lights=L_real,
         n_spheres=S_pad,

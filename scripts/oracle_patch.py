@@ -51,7 +51,9 @@ REF = os.environ.get("RAYTRACER_REF_DATA", "/root/reference")
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "docs", "renders")
 meta = json.load(open(os.path.join(OUT, "renders.json")))
-W, H, PS = 1140, 950, 32  # native resolution, patch size
+W, H = 1140, 950  # native resolution
+PS = int(os.environ.get("PATCH", 32))  # patch size (px); scalar-oracle cost
+# is ~seconds/pixel, so 24 keeps the two-region run under ~an hour on 1 core
 
 # cheap deterministic config shared by oracle + engine: realistic features,
 # lowres mesh, no AA, hard shadows (multiplier 1), runtime backface cull off

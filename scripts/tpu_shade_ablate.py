@@ -18,7 +18,17 @@ relay session, on a REAL primary-hit wavefront:
 Each variant monkeypatches module internals and wraps the unjitted entry
 in a FRESH jax.jit (the public entry's jit cache would otherwise reuse the
 unpatched trace).
+
+PROF=1: report DEVICE time from the jax profiler (sum of pallas custom-call
+event durations) instead of wall clock. Wall-clock single-call timing
+measures the relay's per-dispatch floor (~30 ms/call in some epochs —
+verified by a trivial 16-op kernel timing identical to the full one,
+scripts/tpu_op_calib.py); device events are the only reliable meter for
+kernel work.
 """
+import glob
+import gzip
+import json as _json
 import os
 import sys
 import time
@@ -111,6 +121,15 @@ VARIANTS = {
         "_sphere_occl_comp": zeros_occl,
         "_bigtri_occl_split": zeros_big,
     },
+    # flat_only minus the per-light sb_occl lax.conds and gate `any`
+    # reductions (use_aabb=False takes the unconditional path; the Morton
+    # scan is identity either way) — isolates cond/branch machinery cost
+    "flat_nocond": {
+        "_tri_occl_lights": occl_identity,
+        "_sphere_occl_comp": zeros_occl,
+        "_bigtri_occl_split": zeros_big,
+        "use_aabb": False,
+    },
 }
 
 only = [v for v in os.environ.get("VARIANTS", "").split(",") if v]
@@ -119,6 +138,74 @@ if only:
 # ray-tile sweep INSIDE one relay session (session-to-session variance is
 # 3-4x; only same-session ratios are load-bearing — PERF.md)
 RTS = [int(r) for r in os.environ.get("RTS", str(RT)).split(",")]
+PROF = os.environ.get("PROF") == "1"
+
+
+def device_ms(f, *a):
+    """Sum of pallas custom-call device durations for one call of f."""
+    pdir = "/tmp/jaxprof_ablate"
+    os.system(f"rm -rf {pdir}")
+    with jax.profiler.trace(pdir):
+        out = f(*a)
+        jax.block_until_ready(out)
+        np.asarray(out[0])[0, 0]
+    tr = sorted(glob.glob(f"{pdir}/plugins/profile/*/*.trace.json.gz"))[-1]
+    with gzip.open(tr) as fh:
+        data = _json.load(fh)
+    import collections
+
+    tot = collections.Counter()
+    for e in data.get("traceEvents", []):
+        if e.get("ph") == "X" and "dur" in e:
+            tot[e.get("name", "")] += e["dur"]
+    us = sum(v for k, v in tot.items() if "pallas" in k)
+    if us == 0.0 and os.environ.get("PROF_DEBUG"):
+        for k, v in tot.most_common(10):
+            print(f"    [ev] {v/1e3:8.2f} ms  {k[:90]}", flush=True)
+        # fall back to the jit entry's device total
+        us = max((v for k, v in tot.items() if k.startswith("jit")), default=0.0)
+    return us / 1e3
+
+# same-session reference point: the FULL fused shade+eval kernel (strictly
+# more work than pallas_light_shade — lighting + fresnel + children math);
+# the frame profile showed it ~4-5x FASTER per instance, so time both here
+if "fused" in (only or ["fused"]):
+    fused_args = (
+        hit.point, hit.normal, view, hit.color, hit.shininess,
+        hit.valid.astype(jnp.float32), hit.t,
+        jnp.ones((R, 3), jnp.float32), jnp.full((R,), 1.000293, jnp.float32),
+        jnp.full((R,), -1, jnp.int32), jnp.zeros((R,), jnp.float32),
+        hit.has_trans.astype(jnp.float32), hit.metallic, hit.ior,
+        hit.opacity, hit.boost,
+    )
+    for rt in [int(r) for r in os.environ.get("RTS", str(RT)).split(",")]:
+        fkw = dict(static_kw, ray_tile=rt)
+        ff = jax.jit(
+            lambda *a, fkw=fkw: PK.pallas_shade_eval.__wrapped__(
+                ds.light_pack, ds.sph_pack, ds.trb_pack,
+                ds.tri_blk_pack, ds.tri_blk_aabb,
+                *a, reflections=True, refractions=True,
+                refl_max=9, refr_max=8, weight_cutoff=1e-3, **fkw,
+            )
+        )
+        t0 = time.monotonic()
+        out = ff(*fused_args)
+        jax.block_until_ready(out)
+        np.asarray(out[0])[0, 0]
+        comp = time.monotonic() - t0
+        if os.environ.get("PROF") == "1":
+            ms = min(device_ms(ff, *fused_args) for _ in range(3))
+        else:
+            ts = []
+            for _ in range(6):
+                t0 = time.monotonic()
+                out = ff(*fused_args)
+                jax.block_until_ready(out)
+                ts.append((time.monotonic() - t0) * 1e3)
+            ms = min(ts)
+        print(f"{'fused@'+str(rt):16s}: {ms:8.2f} ms "
+              f"({ms * 1e3 / (R // rt):6.1f} us/instance) "
+              f"compile {comp:.0f}s", flush=True)
 
 results = {}
 for name, patches in VARIANTS.items():
@@ -147,15 +234,19 @@ for name, patches in VARIANTS.items():
                 print(f"{tag:16s}: FAILED {type(e).__name__}: "
                       f"{str(e).splitlines()[0][:120]}", flush=True)
                 continue
-            ts = []
-            for _ in range(6):
-                t0 = time.monotonic()
-                out = f(*args)
-                jax.block_until_ready(out)
-                ts.append((time.monotonic() - t0) * 1e3)
-            ms = min(ts)
+            if PROF:
+                ms = min(device_ms(f, *args) for _ in range(3))
+            else:
+                ts = []
+                for _ in range(6):
+                    t0 = time.monotonic()
+                    out = f(*args)
+                    jax.block_until_ready(out)
+                    ts.append((time.monotonic() - t0) * 1e3)
+                ms = min(ts)
             results[tag] = ms
-            print(f"{tag:16s}: {ms:8.2f} ms/tile-kernel "
+            unit = "ms-device" if PROF else "ms/tile-kernel"
+            print(f"{tag:16s}: {ms:8.2f} {unit} "
                   f"({ms * 1e3 / (R // rt):6.1f} us/instance) compile {comp:.0f}s "
                   f"checksum {float(jnp.sum(out[0])):.4g}", flush=True)
     finally:
