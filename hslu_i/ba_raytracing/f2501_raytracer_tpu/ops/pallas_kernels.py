@@ -1227,58 +1227,119 @@ def _tri_occl_lights(
     design unrolled all nb blocks x C lights into straight-line code; at 26
     blocks that thrashed the core's instruction memory — conditional
     skipping ran 20x slower than the ~3% executed-pair rate warranted
-    (PERF.md round 3, scripts/tpu_shade_ablate.py)."""
-    C = len(lights)
+    (PERF.md round 3, scripts/tpu_shade_ablate.py).
 
-    def block_alive(j, b, carry):
-        lj = lights[j]
-        gate = _gate_flat(
-            baabb_ref, b, lj["sox"], lj["soy"], lj["soz"],
-            lj["invx"], lj["invy"], lj["invz"], lj["maxd"],
-        )
-        return gate & lj["reach"] & (carry[1] < 1.0)
+    Gates are PRECOMPUTED, vectorized over blocks: the in-loop per-(block,
+    light) flat slab tests were ~60% of the kernel's device time (the gate
+    machinery cost more than the pair math it skips). One (nb, RT) slab
+    pass per light + nb static any-reduces fills an SMEM gate table the
+    rolled loop reads as scalars; the opaque early-out becomes a rank-0
+    `done` flag per light updated only inside executed pair bodies."""
+    C = len(lights)
 
     def body(b, carries, trans_block):
         blk = pack_ref[b]  # (B, 32) dynamic block read
         need_n = backface_culling or trans_block
 
         def pair(c, j, P):
-            return _pair_flip_update(
-                blk, c, lights[j], P, trans_block, backface_culling
+            dec, opq, fr, fg, fb, done = c
+            dec, opq, fr, fg, fb = _pair_flip_update(
+                blk, (dec, opq, fr, fg, fb), lights[j], P,
+                trans_block, backface_culling,
             )
+            # opaque early-out (raytracer.rs:94-96): all lanes fully
+            # occluded -> skip every later block for this light
+            return (dec, opq, fr, fg, fb, ~jnp.any(opq < 1.0))
 
-        if not use_aabb:
-            P = _pt_transforms_flip(blk, ptx, pty, ptz, need_n)
-            return tuple(pair(carries[j], j, P) for j in range(C))
+        def run(gates_scr):
+            if not use_aabb:
+                def nb_body(b_, cs):
+                    blk_ = pack_ref[b_]
+                    P = _pt_transforms_flip(blk_, ptx, pty, ptz, need_n)
+                    return tuple(
+                        _pair_flip_update(
+                            blk_, cs[j][:5], lights[j], P,
+                            trans_block, backface_culling,
+                        ) + (cs[j][5],)
+                        for j in range(C)
+                    )
+                return nb_body(b, carries)
 
-        alive = [jnp.any(block_alive(j, b, carries[j])) for j in range(C)]
-        anyb = alive[0]
-        for a in alive[1:]:
-            anyb = anyb | a
+            alive = [
+                (gates_scr[b, j] != 0.0) & ~carries[j][5] for j in range(C)
+            ]
+            anyb = alive[0]
+            for a in alive[1:]:
+                anyb = anyb | a
 
-        def do(cs):
-            P = _pt_transforms_flip(blk, ptx, pty, ptz, need_n)
-            return tuple(
-                jax.lax.cond(
-                    alive[j],
-                    lambda c, j=j: pair(c, j, P),
-                    lambda c: c,
-                    cs[j],
+            def do(cs):
+                P = _pt_transforms_flip(blk, ptx, pty, ptz, need_n)
+                return tuple(
+                    jax.lax.cond(
+                        alive[j],
+                        lambda c, j=j: pair(c, j, P),
+                        lambda c: c,
+                        cs[j],
+                    )
+                    for j in range(C)
                 )
-                for j in range(C)
+
+            return jax.lax.cond(anyb, do, lambda cs: cs, carries)
+
+        return run
+
+    # rank-0 done flag appended to each light's carry, seeded from the
+    # sphere/big-primitive pre-pass (a light already fully occluded on
+    # every lane skips the whole Morton scan, as the old per-block
+    # carry-dependent gate did)
+    carries = tuple(c + (~jnp.any(c[1] < 1.0),) for c in carries)
+
+    def scan(gates_scr):
+        cs = carries
+        if nb_trans:
+            cs = jax.lax.fori_loop(
+                0, nb_trans, lambda b, cc: body(b, cc, True)(gates_scr), cs
             )
+        if nb_trans < nb:
+            cs = jax.lax.fori_loop(
+                nb_trans, nb, lambda b, cc: body(b, cc, False)(gates_scr), cs
+            )
+        return tuple(c[:5] for c in cs)
 
-        return jax.lax.cond(anyb, do, lambda cs: cs, carries)
+    if not use_aabb:
+        return scan(None)
 
-    if nb_trans:
-        carries = jax.lax.fori_loop(
-            0, nb_trans, lambda b, cs: body(b, cs, True), carries
-        )
-    if nb_trans < nb:
-        carries = jax.lax.fori_loop(
-            nb_trans, nb, lambda b, cs: body(b, cs, False), carries
-        )
-    return carries
+    def with_gates(gates_scr):
+        # one vectorized slab pass per light over ALL block AABBs:
+        # (nb, RT) per component from (nb, 1) box columns x (1, RT) rays;
+        # per-ray reach (maxd > 0, zeroed lanes carry no occlusion work)
+        # folds into the mask before the row-wise any-reduce
+        for j in range(C):
+            lj = lights[j]
+            so = (lj["sox"][None, :], lj["soy"][None, :], lj["soz"][None, :])
+            inv = (lj["invx"][None, :], lj["invy"][None, :], lj["invz"][None, :])
+            tn, tf = None, None
+            for c in range(3):
+                t1 = (baabb_ref[:, c : c + 1] - so[c]) * inv[c]
+                t2 = (baabb_ref[:, c + 3 : c + 4] - so[c]) * inv[c]
+                lo = jnp.minimum(t1, t2)
+                hi = jnp.maximum(t1, t2)
+                lo = jnp.where(jnp.isnan(lo), -INF, lo)
+                hi = jnp.where(jnp.isnan(hi), INF, hi)
+                tn = lo if tn is None else jnp.maximum(tn, lo)
+                tf = hi if tf is None else jnp.minimum(tf, hi)
+            cross = (
+                (tf >= jnp.maximum(tn, 0.0))
+                & (tn <= lj["maxd"][None, :])
+                & (lj["maxd"][None, :] > 0.0)
+            )
+            for b in range(nb):  # static rows -> rank-0 any -> SMEM scalar
+                gates_scr[b, j] = jnp.where(
+                    jnp.any(cross[b]), jnp.float32(1.0), jnp.float32(0.0)
+                )
+        return scan(gates_scr)
+
+    return pl.run_scoped(with_gates, pltpu.SMEM((nb, C), jnp.float32))
 
 
 def _light_sums(
@@ -1722,7 +1783,7 @@ def pallas_shade_eval(
             full(sph_pack.shape),
             full(trb_pack.shape),
             full((nb, B, 32)),
-            smem(tri_blk_aabb.shape),
+            full(tri_blk_aabb.shape),  # VMEM: vectorized gate pass
             rayt((3, ray_tile)),
             rayt((3, ray_tile)),
             rayt((3, ray_tile)),
@@ -1830,7 +1891,7 @@ def pallas_light_shade(
             full(sph_pack.shape),
             full(trb_pack.shape),
             full((nb, B, 32)),
-            smem(tri_blk_aabb.shape),
+            full(tri_blk_aabb.shape),  # VMEM: vectorized gate pass
             rayt((3, ray_tile)),
             rayt((3, ray_tile)),
             rayt((3, ray_tile)),

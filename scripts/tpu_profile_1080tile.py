@@ -14,8 +14,10 @@ from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
 W0, H0 = 1920, 1080
 cfg = RenderConfig(width=W0, height=H0, reflections=True, refractions=True,
                    scene_backface_culling=True, weight_cutoff=1e-3, use_pallas=True,
-                   max_nodes=48, compaction_ratio=64, loop_chunk=128, tile_rays=131072,
-                   triangle_block=int(__import__('os').environ.get('PROF_B', 64)))
+                   max_nodes=48, loop_chunk=128, tile_rays=131072,
+                   triangle_block=int(__import__('os').environ.get('PROF_B', 64)),
+                   resort_secondary=__import__('os').environ.get('PROF_RESORT') == '1',
+                   compaction_ratio=int(__import__('os').environ.get('PROF_RATIO', 64)))
 scene = build("semesterbild", cfg)
 scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
 ds = build_device_scene(scene, cfg)
