@@ -59,13 +59,28 @@ def multi_session():
     import subprocess
 
     n = int(os.environ.get("BENCH_SESSIONS", 3))
+    # relay outages manifest as an indefinite hang on the first device op
+    # (observed: >25 min dead relay); bound each session so the bench
+    # always terminates with the best of whatever sessions succeeded
+    session_timeout = float(os.environ.get("BENCH_SESSION_TIMEOUT", 1800))
     results = []
     env = dict(os.environ, BENCH_CHILD="1")
     for s in range(n):
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True,
-        )
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=session_timeout,
+            )
+        except subprocess.TimeoutExpired as e:
+            err = e.stderr or b""
+            if isinstance(err, bytes):  # TimeoutExpired ignores text=True
+                err = err.decode(errors="replace")
+            sys.stderr.write(
+                f"session {s}: timed out after {session_timeout:.0f}s "
+                f"(relay hang?)\n{err}"
+            )
+            continue
         sys.stderr.write(p.stderr)
         line = (p.stdout.strip().splitlines() or [""])[-1]
         try:

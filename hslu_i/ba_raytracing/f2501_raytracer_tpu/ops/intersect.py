@@ -482,6 +482,9 @@ def occlude_rays(
             scene.tri_colr,
             scene.tri_absn,
             scene.tri_aabb,
+            jnp.asarray(scene.block_has_trans, jnp.float32)
+            if scene.block_has_trans
+            else jnp.ones((scene.tri_woop.shape[0],), jnp.float32),
             op_,
             dp_,
             mp_,

@@ -602,7 +602,7 @@ def pallas_cast_triangles_stream(
 
 def _occl_stream_kernel(
     o_ref, d_ref, maxd_ref, woop_ref, nsq_ref, valid_ref, httr_ref, tnorm_ref,
-    ior_ref, op_ref, met_ref, colr_ref, absn_ref, aabb_ref,
+    ior_ref, op_ref, met_ref, colr_ref, absn_ref, aabb_ref, httbl_ref,
     dec_out, opq_out, fsub_out,
     dec_scr, opq_scr, fr_scr, fg_scr, fb_scr,
     *, nb, backface_culling, use_aabb, trans_blocks, ray_tile,
@@ -673,19 +673,28 @@ def _occl_stream_kernel(
             fb + jnp.sum(hit_f * absn[2][None, :], axis=1),
         )
 
-    # mixed-transparency scenes: streamed blocks can't specialize the
-    # Fresnel branch per block (one traced body serves every b), so it runs
-    # whenever ANY block is transmissive
+    # mixed-transparency scenes: one traced body serves every streamed
+    # block, so the Fresnel branch is selected per block at RUNTIME via a
+    # scalar cond on the static (nb,) trans table — all-opaque blocks take
+    # the cheap body (exact: io = 0 for opaque triangles in either body)
+    def run(c):
+        if not trans_blocks:
+            return compute(c, False)
+        return jax.lax.cond(
+            httbl_ref[b] != 0.0,
+            lambda cc: compute(cc, True),
+            lambda cc: compute(cc, False),
+            c,
+        )
+
     if use_aabb:
         gate = _gate_flat(
             aabb_ref, b, sox, soy, soz, 1.0 / dx, 1.0 / dy, 1.0 / dz, maxd
         )
         alive = gate & (maxd > 0.0) & (carry[1] < 1.0)
-        carry = jax.lax.cond(
-            jnp.any(alive), lambda c: compute(c, trans_blocks), lambda c: c, carry
-        )
+        carry = jax.lax.cond(jnp.any(alive), run, lambda c: c, carry)
     else:
-        carry = compute(carry, trans_blocks)
+        carry = run(carry)
 
     dec_scr[pl.ds(i, 1), :] = carry[0][None, :]
     opq_scr[pl.ds(i, 1), :] = carry[1][None, :]
@@ -708,13 +717,17 @@ def _occl_stream_kernel(
 )
 def pallas_occlude_triangles_stream(
     tri_woop, tri_nsq, tri_valid, tri_httr, tri_normal3,
-    tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb,
+    tri_ior, tri_op, tri_met, tri_colr, tri_absn, tri_aabb, block_httr,
     o, d, max_distance, backface_culling=False, ray_tile=256, use_aabb=True,
     interpret=False, trans_blocks=True,
 ):
     """Shadow accumulators over HBM-streamed Morton blocks: returns
     (opacity_decrement_sum (R,), any_opaque (R,) bool, filter_sub (R,3)).
-    The caller folds spheres and big primitives."""
+    The caller folds spheres and big primitives. `block_httr` is the (nb,)
+    f32 per-block any-transmissive table the kernel conds on so all-opaque
+    blocks skip the shadow-Fresnel body (ADVICE r2: with a single any()
+    bool, opaque blocks paid the Fresnel math whenever any block was
+    transmissive)."""
     R = o.shape[0]
     nb, _, B = tri_woop.shape
     assert R % ray_tile == 0, (R, ray_tile)
@@ -759,6 +772,9 @@ def pallas_occlude_triangles_stream(
             pl.BlockSpec(
                 tri_aabb.shape, lambda b, i: (0, 0), memory_space=pltpu.SMEM
             ),
+            pl.BlockSpec(
+                block_httr.shape, lambda b, i: (0,), memory_space=pltpu.SMEM
+            ),
         ],
         out_specs=[rayt((1, ray_tile)), rayt((1, ray_tile)), rayt((3, ray_tile))],
         out_shape=[
@@ -772,7 +788,7 @@ def pallas_occlude_triangles_stream(
         o.T, d.T, max_distance[None, :], tri_woop, tri_nsq[:, None],
         tri_valid[:, None], tri_httr[:, None], tri_normal3,
         tri_ior[:, None], tri_op[:, None], tri_met[:, None], tri_colr[:, None],
-        tri_absn, tri_aabb,
+        tri_absn, tri_aabb, block_httr,
     )
     return dec[0], opq[0] > 0.0, fsub.T
 
