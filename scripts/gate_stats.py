@@ -141,3 +141,84 @@ print(
     "interpretation: executed-pair work ~ instance-any * L * nb * RT * B; "
     "per-ray ideal ~ ray-pass * that."
 )
+
+
+# ---------------------------------------------------------------------------
+# --pool: the same statistic on a SERVICED SECONDARY generation. Gen-1
+# children (reflection at metallic/transmissive hits, refraction at
+# transmissive hits — approximate spawn physics; this is a gate statistic,
+# not a parity path) are compacted in ray order exactly like the pool
+# services pending rays, cast to their own hit points, and analyzed with
+# the identical per-light loop.
+# ---------------------------------------------------------------------------
+if "--pool" in sys.argv:
+    met = np.asarray(hit.metallic)
+    htt = np.asarray(hit.has_trans)
+    ior_a = np.maximum(np.asarray(hit.ior), 1e-6)
+    nn = nrm / np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-30)
+    cos = -(d * nn).sum(1)
+    refl_d = d + 2.0 * cos[:, None] * nn
+    eta = 1.0 / ior_a
+    sin2 = eta * eta * (1.0 - cos * cos)
+    with np.errstate(invalid="ignore"):
+        refr_d = (
+            eta[:, None] * d
+            + (eta * cos - np.sqrt(np.maximum(1.0 - sin2, 0.0)))[:, None] * nn
+        )
+    kids_o, kids_d = [], []
+    for sp, dd in [
+        (valid & ((met > 0.0) | htt), refl_d),
+        (valid & htt & (sin2 <= 1.0), refr_d),
+    ]:
+        ddn = dd[sp]
+        ddn = ddn / np.maximum(np.linalg.norm(ddn, axis=1, keepdims=True), 1e-30)
+        kids_o.append(P[sp] + ddn * eps)
+        kids_d.append(ddn)
+    ko = np.concatenate(kids_o)
+    kd = np.concatenate(kids_d)
+    cap = int(os.environ.get("GATE_POOL_CAP", 512 * 1024)) // RT * RT
+    ko, kd = ko[:cap], kd[:cap]
+    Rp = len(ko) // RT * RT
+    ko, kd = ko[:Rp], kd[:Rp]
+    t0 = time.monotonic()
+    khit = cast_rays(ds, jnp.asarray(ko), jnp.asarray(kd), cfg.backface_culling, False)
+    kvalid = np.asarray(khit.valid)
+    kt = np.asarray(khit.t)
+    knrm = np.asarray(khit.normal)
+    print(
+        f"\npool gen-1: {Rp} serviced children ({len(kids_o[0])} refl + "
+        f"{len(kids_o[1])} refr pre-cap), cast {time.monotonic()-t0:.1f}s, "
+        f"{kvalid.mean()*100:.1f}% hit",
+        flush=True,
+    )
+    KP = ko + kd * kt[:, None]
+    n_inst_p = Rp // RT
+    p_inst_any = np.zeros(L)
+    p_ray_pass = np.zeros(L)
+    for li in range(L):
+        lp = lights[li]
+        ltp = lp[None, :] - KP
+        lt = np.linalg.norm(ltp, axis=1)
+        ld = ltp / np.maximum(lt[:, None], 1e-30)
+        cos_in = (ltp * knrm).sum(1) / (lt + 2.0**-23)
+        occl_lane = kvalid & (cos_in > 0.0)
+        so = KP + ld * eps
+        de = lp[None, :] - so
+        maxd = np.where(occl_lane, np.linalg.norm(de, axis=1), 0.0)
+        g = seg_gate(aabb, so, ld, maxd) & occl_lane[:, None]
+        gi = g.reshape(n_inst_p, RT, nb)
+        inst_any = gi.any(axis=1)
+        p_inst_any[li] = inst_any.mean()
+        per = gi.sum(axis=1)
+        p_ray_pass[li] = per[inst_any].mean() / RT if inst_any.any() else 0.0
+        print(
+            f"pool light {li}: occl-lanes {occl_lane.mean()*100:5.1f}% | "
+            f"block-any {p_inst_any[li]*100:5.1f}% | "
+            f"ray-pass|any {p_ray_pass[li]*100:5.1f}%",
+            flush=True,
+        )
+    print(
+        f"pool mean: instance-any {p_inst_any.mean()*100:.1f}% vs primary "
+        f"{tot_inst_any.mean()*100:.1f}%; lane utility {p_ray_pass.mean()*100:.1f}% "
+        f"vs primary {tot_ray_pass.mean()*100:.1f}%"
+    )
