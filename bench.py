@@ -162,7 +162,20 @@ def main():
 
     scene = build("semesterbild", cfg)
     scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
-    dscene = build_device_scene(scene, cfg)
+    if os.environ.get("BENCH_AUTOTUNE") == "1":
+        # same-session triangle_block sweep on one representative tile
+        # (image-identical across candidates; costs one compile per new
+        # candidate, amortized by the persistent cache)
+        from hslu_i.ba_raytracing.f2501_raytracer_tpu.tune import autotune
+
+        res = autotune(
+            scene, cfg, candidates=(32, 64, 128, 256, 512), repeats=2,
+            tile=min(cfg.tile_rays, 131072), verbose=True,
+        )
+        cfg, dscene = res.cfg, res.device_scene
+        sys.stderr.write(f"autotuned triangle_block={res.tuned_block}\n")
+    else:
+        dscene = build_device_scene(scene, cfg)
 
     # ray layout + AA expansion: the SAME plan the library renderer uses
     # (tile-major square patches for kernel-tile culling; deduped weighted

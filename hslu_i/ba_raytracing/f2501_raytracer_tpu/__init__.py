@@ -38,6 +38,7 @@ from .scene.builder import (
 )
 from .scene.device import DeviceScene, build_device_scene
 from .scene.lighting import AmbientLight, PointLight, SceneLightSource
+from .tune import TuneResult, autotune
 
 __all__ = [
     "AmbientLight",
@@ -61,6 +62,8 @@ __all__ = [
     "SphereData",
     "TransmissionProperties",
     "TriangleData",
+    "TuneResult",
+    "autotune",
     "build_device_scene",
     "rotor3_from_euler_angles",
 ]
