@@ -201,7 +201,7 @@ def main():
     w_dev = jnp.asarray(plan.weights)
     if cfg.devices > 1:
         from hslu_i.ba_raytracing.f2501_raytracer_tpu.parallel.mesh import (
-            make_mesh, trace_tiles_sharded,
+            make_mesh, trace_tiles_sharded, trace_tiles_sharded_u32,
         )
 
         mesh = make_mesh(cfg.devices)
@@ -209,8 +209,8 @@ def main():
     # AA reduce + u8 pack fuse into the frame program and the host fetches
     # 4 bytes/pixel instead of 12·aa f32 — the f32 fetch measured ~650 ms
     # of the 1080p frame through the relay (scripts/tpu_wall_breakdown.py).
-    # The mesh path keeps f32 outputs (sharded host assembly).
-    use_u32 = cfg.device_encode and cfg.devices == 1
+    # The mesh path fuses the same encode per chip (trace_tiles_sharded_u32).
+    use_u32 = cfg.device_encode
     # overlapped fetch: split the frame into BENCH_OVERLAP programs, dispatch
     # them ALL, then fetch in order — group g's 1 MB host fetch rides while
     # g+1 computes. Same-session measurement (scripts/tpu_overlap_bench.py):
@@ -225,7 +225,12 @@ def main():
         # configs that would outlive the relay watchdog in one executable.
         group = cfg.tiles_per_program
         if cfg.devices > 1:
-            outs = trace_tiles_sharded(dscene, cfg, o_tiles, d_tiles, mesh)
+            if use_u32:
+                outs = trace_tiles_sharded_u32(
+                    dscene, cfg, o_tiles, d_tiles, w_dev, mesh
+                )
+            else:
+                outs = trace_tiles_sharded(dscene, cfg, o_tiles, d_tiles, mesh)
         elif group and group < n_tiles:
             n_g = (n_tiles + group - 1) // group * group
             pad_g = n_g - n_tiles

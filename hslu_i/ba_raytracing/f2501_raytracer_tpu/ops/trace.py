@@ -375,28 +375,37 @@ def trace_rays_tiled_u32(scene: DeviceScene, cfg: RenderConfig, o_tiles, d_tiles
     On remote-attached TPUs this also cuts the host fetch from 12·U to 4
     bytes per pixel — the f32 fetch was a measured share of frame latency
     (PERF.md round 3)."""
-    U = aa_weights.shape[0]
-
     def per_tile(od):
         o, d = od
         color, valid = trace_rays.__wrapped__(scene, cfg, o, d)
-        P = color.shape[0] // U
-        c = color.reshape(P, U, 3)
-        v = valid.reshape(P, U)
-        px_c = jnp.sum(
-            jnp.where(v[..., None], c, 0.0) * aa_weights[None, :, None], axis=1
-        )
-        px_v = jnp.any(v, axis=1)
-        u8 = jnp.floor(jnp.clip(px_c, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint32)
-        packed = (
-            (jnp.uint32(0xFF) << 24)
-            | (u8[:, 0] << 16)
-            | (u8[:, 1] << 8)
-            | u8[:, 2]
-        )
-        return jnp.where(px_v, packed, jnp.uint32(0))
+        return encode_pixels_u32(color, valid, aa_weights)
 
     return jax.lax.map(per_tile, (o_tiles, d_tiles))
+
+
+def encode_pixels_u32(color, valid, aa_weights):
+    """Fused AA reduction + pixel encode for one tile's (T, 3) colors and
+    (T,) valid mask, T = pixels · U consecutive weighted AA samples:
+    weighted sample sum (misses add black, ref rs:1001-1015), round-half-up
+    u8 with NO gamma (output/file.rs:61-71), 0xFFRRGGBB pack
+    (image_buffer.rs:10-15); all-miss pixels encode 0x00000000 like an
+    untouched atomic. Shared by the single-chip and mesh tile paths."""
+    U = aa_weights.shape[0]
+    P = color.shape[0] // U
+    c = color.reshape(P, U, 3)
+    v = valid.reshape(P, U)
+    px_c = jnp.sum(
+        jnp.where(v[..., None], c, 0.0) * aa_weights[None, :, None], axis=1
+    )
+    px_v = jnp.any(v, axis=1)
+    u8 = jnp.floor(jnp.clip(px_c, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint32)
+    packed = (
+        (jnp.uint32(0xFF) << 24)
+        | (u8[:, 0] << 16)
+        | (u8[:, 1] << 8)
+        | u8[:, 2]
+    )
+    return jnp.where(px_v, packed, jnp.uint32(0))
 
 
 @partial(jax.jit, static_argnames=("cfg", "with_stats"))

@@ -101,6 +101,46 @@ def trace_tiles_sharded(scene: DeviceScene, cfg: RenderConfig, o_tiles, d_tiles,
     )
 
 
+def trace_tiles_sharded_u32(
+    scene: DeviceScene, cfg: RenderConfig, o_tiles, d_tiles, aa_weights,
+    mesh: Mesh,
+):
+    """`trace_tiles_sharded` with the AA reduction + 0xFFRRGGBB pixel encode
+    fused on-device (ops/trace.py::encode_pixels_u32): each chip outputs
+    4 bytes per LOCAL pixel instead of 12·aa, so the sharded->host transfer
+    shrinks identically to the single-chip u32 path (a measured share of
+    frame latency through a relay, PERF.md round 3). Outputs stay
+    device-sharded (n_tiles, pixels_per_tile) for host assembly."""
+    from ..ops.trace import encode_pixels_u32
+
+    axis = mesh.axis_names[0]
+    assert o_tiles.shape[0] % mesh.devices.size == 0, (
+        o_tiles.shape, mesh.devices.size,
+    )
+
+    def local(scene_rep, w_rep, o_sh, d_sh):
+        def per_tile(od):
+            o, d = od
+            color, valid = trace_rays.__wrapped__(scene_rep, cfg, o, d)
+            return encode_pixels_u32(color, valid, w_rep)
+
+        return jax.lax.map(per_tile, (o_sh, d_sh))
+
+    shd = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    mapped = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,  # no cross-device communication in this map
+    )
+    return jax.jit(mapped)(
+        shard_scene(scene, mesh),
+        jax.device_put(jnp.asarray(aa_weights), rep),
+        jax.device_put(o_tiles, shd),
+        jax.device_put(d_tiles, shd),
+    )
+
+
 def trace_rays_sharded(scene: DeviceScene, cfg: RenderConfig, origins, directions, mesh: Mesh):
     """Data-parallel trace with sharded outputs (no gather): the natural mode
     when the host assembles tiles."""

@@ -214,31 +214,38 @@ class RaytracerRenderer:
                 )
             # device-side pixel encode: the AA reduction + u8/u32 pack runs
             # in the frame program and the host fetches 4 bytes/pixel (the
-            # reference's framebuffer format). Falls back to the f32 path
-            # under a mesh or when per-tile debug stats are requested.
-            use_u32 = cfg.device_encode and not use_mesh and not ws
+            # reference's framebuffer format) — under a mesh each chip
+            # outputs 4 bytes per LOCAL pixel, shrinking the sharded->host
+            # transfer identically. Falls back to the f32 path when per-tile
+            # debug stats are requested.
+            use_u32 = cfg.device_encode and not ws
             if use_u32:
                 w_dev = jax.numpy.asarray(weights)
-                if group >= n_pad:
-                    u32 = np.asarray(
-                        trace_rays_tiled_u32(
-                            dscene, cfg, jax.numpy.asarray(o_all),
-                            jax.numpy.asarray(d_all), w_dev,
-                        )
-                    )
-                else:
-                    us = []
-                    for gs in range(0, n_pad, group):
-                        us.append(
-                            np.asarray(
-                                trace_rays_tiled_u32(
-                                    dscene, cfg,
-                                    jax.numpy.asarray(o_all[gs : gs + group]),
-                                    jax.numpy.asarray(d_all[gs : gs + group]),
-                                    w_dev,
-                                )
+
+                def u32_group(o_np, d_np):
+                    if use_mesh:
+                        from .parallel.mesh import trace_tiles_sharded_u32
+
+                        return np.asarray(
+                            trace_tiles_sharded_u32(
+                                dscene, cfg, jax.numpy.asarray(o_np),
+                                jax.numpy.asarray(d_np), w_dev, mesh,
                             )
                         )
+                    return np.asarray(
+                        trace_rays_tiled_u32(
+                            dscene, cfg, jax.numpy.asarray(o_np),
+                            jax.numpy.asarray(d_np), w_dev,
+                        )
+                    )
+
+                if group >= n_pad:
+                    u32 = u32_group(o_all, d_all)
+                else:
+                    us = [
+                        u32_group(o_all[gs : gs + group], d_all[gs : gs + group])
+                        for gs in range(0, n_pad, group)
+                    ]
                     u32 = np.concatenate(us)[:n_tiles]
                 fb = np.zeros((total_pixels,), np.uint32)
                 fb[plan.order] = u32.reshape(-1)[:total_pixels]

@@ -178,3 +178,53 @@ def test_renderer_mesh_mode_matches_single():
     buf8 = RaytracerRenderer(dataclasses.replace(base, devices=8)).render(scene)
     np.testing.assert_array_equal(buf8.valid, buf1.valid)
     np.testing.assert_allclose(buf8.color, buf1.color, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_u32_encode_matches_single():
+    """trace_tiles_sharded_u32 (per-chip fused AA reduce + 0xFFRRGGBB
+    encode) must produce byte-identical packed pixels to the single-device
+    trace_rays_tiled_u32, and the renderer's mesh mode with
+    cfg.device_encode must equal the single-chip u32 render."""
+    import dataclasses
+
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import (
+        trace_rays_tiled_u32,
+    )
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.parallel.mesh import (
+        trace_tiles_sharded_u32,
+    )
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import RaytracerRenderer
+
+    cfg = RenderConfig(
+        width=64, height=64, reflections=True, refractions=True,
+        compaction_ratio=2, max_nodes=48, tile_rays=512, device_encode=True,
+    )
+    scene = mixed_scene(cfg)
+    ds = build_device_scene(scene, cfg)
+    cam = cfg.camera
+    px, py = np.meshgrid(np.arange(64), np.arange(64))
+    coords = np.stack(
+        [
+            px.reshape(-1) * cam.w2s_width,
+            py.reshape(-1) * cam.w2s_height,
+            np.zeros(64 * 64),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    dirs = (coords - np.asarray(cam.render_ray_focus, np.float32)).astype(np.float32)
+    o_tiles = jnp.asarray(coords.reshape(8, 512, 3))
+    d_tiles = jnp.asarray(dirs.reshape(8, 512, 3))
+    w = jnp.ones((1,), jnp.float32)  # no AA: one unit-weight sample/pixel
+
+    mesh = make_mesh(8)
+    u_m = trace_tiles_sharded_u32(ds, cfg, o_tiles, d_tiles, w, mesh)
+    u_1 = trace_rays_tiled_u32(ds, cfg, o_tiles, d_tiles, w)
+    np.testing.assert_array_equal(np.asarray(u_m), np.asarray(u_1))
+
+    base = dataclasses.replace(cfg, width=48, height=32, use_pallas=False)
+    buf1 = RaytracerRenderer(base).render(mixed_scene(base))
+    buf8 = RaytracerRenderer(dataclasses.replace(base, devices=8)).render(
+        mixed_scene(base)
+    )
+    np.testing.assert_array_equal(buf8.get_u32_slice(), buf1.get_u32_slice())
+    np.testing.assert_array_equal(buf8.valid, buf1.valid)
