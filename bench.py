@@ -101,6 +101,10 @@ def main():
         return multi_session()
     import jax
 
+    if os.environ.get("BENCH_CPU") == "1":
+        # protocol self-test without a chip (the axon plugin ignores the
+        # JAX_PLATFORMS env var, so this must be a config update)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp

@@ -1,0 +1,61 @@
+"""The driver-run bench protocol must not bitrot: run bench.py end-to-end
+in a subprocess on CPU (BENCH_CPU=1) at a tiny resolution and validate the
+JSON contract the driver parses."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def _run(env_extra):
+    env = dict(
+        os.environ,
+        BENCH_CPU="1",
+        BENCH_SESSIONS="1",
+        BENCH_REPEATS="1",
+        BENCH_WIDTH="32",
+        BENCH_HEIGHT="24",
+        BENCH_TILE="768",
+        BENCH_PALLAS="0",
+        **env_extra,
+    )
+    p = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
+        env=env, capture_output=True, text=True, timeout=540,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    line = p.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert set(out) == {"metric", "value", "unit", "vs_baseline"}, out
+    assert out["unit"] == "ms" and out["value"] > 0
+    return out, p.stderr
+
+
+def test_bench_json_contract_realistic():
+    out, err = _run({})
+    assert "realistic" in out["metric"]
+    assert '"compile_s"' in err  # compile telemetry for the driver tail
+
+
+def test_bench_multi_session_picks_best():
+    env = dict(
+        os.environ,
+        BENCH_CPU="1",
+        BENCH_SESSIONS="2",
+        BENCH_REPEATS="1",
+        BENCH_WIDTH="32",
+        BENCH_HEIGHT="24",
+        BENCH_TILE="768",
+        BENCH_PALLAS="0",
+    )
+    p = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
+        env=env, capture_output=True, text=True, timeout=540,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    assert "session bests" in p.stderr
+    assert out["value"] > 0
