@@ -29,6 +29,11 @@ def main():
                     help="terminal live preview of the progressive render "
                          "(the reference's window analog; also rewrites "
                          "OUT.partial.png as tiles land)")
+    ap.add_argument("--serve", action="store_true",
+                    help="interactive live view over HTTP: open the printed "
+                         "URL in a browser for a fit-screen window that "
+                         "refreshes as tiles land; Escape stops the render "
+                         "(the reference's window loop, display-server-free)")
     args = ap.parse_args()
 
     w = args.width or (228 if args.small else None)
@@ -45,7 +50,22 @@ def main():
           f"{len(scene.scene_lights)} lights | {cfg.feature_string()}")
 
     renderer = RaytracerRenderer(cfg)
-    if args.live:
+    if args.serve:
+        from hslu_i.ba_raytracing.f2501_raytracer_tpu.output.http_preview import (
+            HttpPreview,
+            RenderAborted,
+        )
+
+        preview = HttpPreview(title=cfg.feature_string())
+        url = preview.start()
+        print(f"live view: {url}  (Escape in the page stops the render)")
+        try:
+            buf = renderer.render(scene, progress=preview)
+        except RenderAborted:
+            print("\nrender stopped from the live view")
+            return
+        preview.finish(buf)
+    elif args.live:
         from hslu_i.ba_raytracing.f2501_raytracer_tpu.output.preview import (
             TerminalPreview,
         )

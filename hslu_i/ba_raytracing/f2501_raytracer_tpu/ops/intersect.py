@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from ..scene.device import DeviceScene
 from .vecmath import F32_EPSILON, dot, normalized
 
-INF = jnp.float32(jnp.inf)
+INF = float("inf")  # python scalar: no backend init at import (weak-typed f32 in use)
 
 
 @jax.tree_util.register_dataclass

@@ -42,7 +42,7 @@ from .shading import (
 )
 from .vecmath import F32_EPSILON, dot, normalized, reflected, refracted
 
-AIR = jnp.float32(DEFAULT_REFRACTION_INDEX)
+AIR = float(DEFAULT_REFRACTION_INDEX)  # python scalar: no backend init at import
 # |v|^2 threshold for `abs_diff_eq_default(zero)` on a direction vector
 # (ref vector.rs componentwise F32_EPSILON check, used at rs:589-594)
 F32_EPS_SQ = float(F32_EPSILON) ** 2

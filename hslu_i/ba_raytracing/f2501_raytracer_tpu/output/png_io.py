@@ -22,17 +22,24 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def write_png(path, rgb_u8: np.ndarray) -> None:
+def png_bytes(rgb_u8: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 to an in-memory 8-bit RGB PNG."""
     rgb_u8 = np.asarray(rgb_u8, dtype=np.uint8)
     h, w, c = rgb_u8.shape
     assert c == 3, "expected RGB"
     raw = b"".join(b"\x00" + rgb_u8[y].tobytes() for y in range(h))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def write_png(path, rgb_u8: np.ndarray) -> None:
     with open(path, "wb") as f:
-        f.write(_MAGIC)
-        f.write(_chunk(b"IHDR", ihdr))
-        f.write(_chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(_chunk(b"IEND", b""))
+        f.write(png_bytes(rgb_u8))
 
 
 def read_png(path) -> np.ndarray:
