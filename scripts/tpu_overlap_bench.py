@@ -6,7 +6,7 @@ Splitting the frame into G programs and dispatching them all before
 fetching in order lets group g's fetch ride while g+1 computes — wall
 should drop toward device_total + fetch(one group) + dispatch overheads.
 
-Variants (one process, same session): single-program, then G in {2, 4, 8}.
+Variants (one process, same session): single-program, then G in {2,4,8,16,32}.
 Also times an empty-ish dispatch round trip to bound per-program overhead.
 """
 import os
@@ -81,7 +81,7 @@ def single():
 
 base = run("single program", single)
 
-for G in (2, 4, 8):
+for G in (2, 4, 8, 16, 32):
     if n_tiles % G:
         continue
     per = n_tiles // G
