@@ -36,15 +36,32 @@ def fma_chain(x):
     return x
 
 
+def fetch_scalar(arr):
+    """Force real completion: on the relay, block_until_ready can return
+    early after fresh compiles (see bench.py) — only a value fetch proves
+    the program ran. 4-byte transfer; costs one relay round-trip."""
+    return float(np.asarray(arr.ravel()[0]))
+
+
 x = jnp.arange(N, dtype=jnp.float32)
-fma_chain(x).block_until_ready()
-reps = 20
+fetch_scalar(fma_chain(x))
+# relay round-trip floor for the scalar fetch itself (subtracted below)
+tiny = jnp.zeros((8, 128), jnp.float32)
+fetch_scalar(tiny * 1.0)
+rtts = []
+for _ in range(5):
+    t0 = time.monotonic()
+    fetch_scalar(tiny * 1.0)
+    rtts.append(time.monotonic() - t0)
+rtt = min(rtts)
+print(f"relay scalar-fetch round-trip: {rtt*1e3:.1f} ms")
+reps = 200  # amortize the round-trip: device time >> rtt
 t0 = time.monotonic()
 y = x
 for _ in range(reps):
     y = fma_chain(y)
-y.block_until_ready()
-dt = time.monotonic() - t0
+fetch_scalar(y)
+dt = max(time.monotonic() - t0 - rtt, 1e-9)
 # FMA = 2 flops
 peak = N * K * reps * 2 / dt
 print(f"empirical f32 FMA rate: {peak/1e12:.3f} Tflop/s "
@@ -80,15 +97,15 @@ R = 131072
 sl = slice(4 * R, 5 * R)
 o, d = jnp.asarray(coords[sl]), jnp.asarray(dirs[sl])
 out = trace_rays(ds, cfg, o, d)
-jax.block_until_ready(out)
+fetch_scalar(out[0])
 ts = []
 for _ in range(5):
     t0 = time.monotonic()
     out = trace_rays(ds, cfg, o, d)
-    jax.block_until_ready(out)
-    ts.append(time.monotonic() - t0)
+    fetch_scalar(out[0])
+    ts.append(time.monotonic() - t0 - rtt)
 tile_s = min(ts)
-print(f"131k-ray tile: {tile_s*1e3:.1f} ms wall")
+print(f"131k-ray tile: {tile_s*1e3:.1f} ms wall (rtt-corrected)")
 
 # op accounting (see PERF.md "Utilization account" for the derivation):
 # per serviced ray eval: 5 lights x (9 spheres + 48 bigtris + ~3% of 26x64
