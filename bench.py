@@ -142,9 +142,16 @@ def main():
         tile_rays=int(os.environ.get("BENCH_TILE", 262144)),
         max_nodes=int(os.environ.get("BENCH_MAX_NODES", 48)),
         weight_cutoff=float(os.environ.get("BENCH_WEIGHT_CUTOFF", 1e-3)),
-        use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
+        # compiled Pallas needs a real TPU; the BENCH_CPU protocol self-test
+        # defaults to the XLA path (override with BENCH_PALLAS=1 + interpret)
+        use_pallas=os.environ.get(
+            "BENCH_PALLAS", "0" if os.environ.get("BENCH_CPU") == "1" else "1"
+        ) == "1",
         compaction_ratio=int(os.environ.get("BENCH_COMPACT", 64)),
-        kernel_ray_tile=int(os.environ.get("BENCH_RAY_TILE", 256)),
+        # 512-ray kernel tiles beat 256 by ~10% at 1080p (fewer kernel
+        # instances at the same pair work; scripts/tpu_sweep_r3.py round 3:
+        # 61.3 vs 68.3 ms/131k-tile, bit-identical image)
+        kernel_ray_tile=int(os.environ.get("BENCH_RAY_TILE", 512)),
         loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 128)),
         # optimal block size is resolution-dependent (same-session sweeps,
         # PERF.md): fine 64-triangle AABBs win at 1080p (deep secondary
