@@ -41,10 +41,17 @@ CONFIGS = {
     ),
     "soft_shadows": dict(soft_shadows=True),
     "realistic": dict(reflections=True, light_reflections=True, refractions=True),
+    # the reference runs the semesterbild example with its DEFAULT features
+    # still enabled (Cargo features are additive; Cargo.toml:64 defaults
+    # include both AA jitter variants) — so extreme includes the randomized
+    # rotated-grid AA, giving ~17 unique rays/pixel after exact dedupe
+    # rather than the degenerate 2 of the bare 24-entry table
     "extreme": dict(
         reflections=True,
         light_reflections=True,
         refractions=True,
+        anti_aliasing_rotation_scale=True,
+        anti_aliasing_randomness=True,
         extreme_quality=True,
         high_quality_model=True,
     ),
@@ -273,7 +280,10 @@ def main():
                     jnp.concatenate([p[0] for p in parts])[:n_tiles],
                     jnp.concatenate([p[1] for p in parts])[:n_tiles],
                 )
-        elif use_u32 and overlap > 1 and n_tiles % overlap == 0 and n_tiles > overlap:
+        # n_tiles == overlap is the 1080p default (8 tiles of 262k): one
+        # tile per group still overlaps each group's fetch with the next
+        # group's compute, which is the whole point
+        elif use_u32 and overlap > 1 and n_tiles % overlap == 0 and n_tiles >= overlap:
             per = n_tiles // overlap
             parts = [
                 trace_rays_tiled_u32(

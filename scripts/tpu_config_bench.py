@@ -38,8 +38,11 @@ CONFIGS = {
         anti_aliasing_rotation_scale=True, anti_aliasing_randomness=True
     ),
     "soft_shadows": dict(soft_shadows=True),
+    # reference default features (AA jitter variants) stay on for the
+    # shipped example — see bench.py CONFIGS["extreme"]
     "extreme": dict(
         reflections=True, light_reflections=True, refractions=True,
+        anti_aliasing_rotation_scale=True, anti_aliasing_randomness=True,
         extreme_quality=True, high_quality_model=True,
     ),
 }

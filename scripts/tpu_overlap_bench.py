@@ -33,23 +33,31 @@ from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
 W0, H0 = (int(v) for v in os.environ.get("OVERLAP_RES", "1920x1080").split("x"))
 REPEATS = int(os.environ.get("OVERLAP_REPEATS", 4))
 
-cfg = RenderConfig(
-    width=W0, height=H0, scene_backface_culling=True,
-    reflections=True, light_reflections=True, refractions=True,
-    tile_rays=131072, max_nodes=48, weight_cutoff=1e-3,
-    compaction_ratio=64, loop_chunk=128, use_pallas=True,
-    triangle_block=64 if W0 * H0 >= 10**6 else 512,
-    device_encode=True, dedupe_aa=True,
-)
-scene = build("semesterbild", cfg)
-scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
-ds = build_device_scene(scene, cfg)
-plan = plan_frame(cfg)
-o_np, d_np = build_frame_rays(cfg, plan)
-o_t, d_t = jnp.asarray(o_np), jnp.asarray(d_np)
-w_dev = jnp.asarray(plan.weights)
-n_tiles = o_np.shape[0]
-print(f"{W0}x{H0}: {n_tiles} tiles of {o_np.shape[1]} rays", flush=True)
+TILES = [int(v) for v in os.environ.get("OVERLAP_TILES", "131072").split(",")]
+RT = int(os.environ.get("OVERLAP_RAY_TILE", "512"))
+
+
+def make(tile_rays):
+    cfg = RenderConfig(
+        width=W0, height=H0, scene_backface_culling=True,
+        reflections=True, light_reflections=True, refractions=True,
+        tile_rays=tile_rays, max_nodes=48, weight_cutoff=1e-3,
+        compaction_ratio=64, loop_chunk=128, use_pallas=True,
+        triangle_block=64 if W0 * H0 >= 10**6 else 512,
+        kernel_ray_tile=RT,
+        device_encode=True, dedupe_aa=True,
+    )
+    scene = build("semesterbild", cfg)
+    scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
+    ds = build_device_scene(scene, cfg)
+    plan = plan_frame(cfg)
+    o_np, d_np = build_frame_rays(cfg, plan)
+    return cfg, ds, jnp.asarray(o_np), jnp.asarray(d_np), jnp.asarray(plan.weights)
+
+
+cfg, ds, o_t, d_t, w_dev = make(TILES[0])
+n_tiles = o_t.shape[0]
+print(f"{W0}x{H0}: {n_tiles} tiles of {o_t.shape[1]} rays (RT={RT})", flush=True)
 
 # tiny dispatch round-trip cost
 tin = jnp.zeros((8, 128), jnp.float32)
@@ -75,25 +83,29 @@ def run(label, fn):
     return min(ts)
 
 
-def single():
-    return np.asarray(trace_rays_tiled_u32(ds, cfg, o_t, d_t, w_dev))
+for tile_rays in TILES:
+    cfg, ds, o_t, d_t, w_dev = make(tile_rays)
+    n_tiles = o_t.shape[0]
+    print(f"-- tile_rays={tile_rays}: {n_tiles} tiles --", flush=True)
 
+    def single(cfg=cfg, ds=ds, o_t=o_t, d_t=d_t, w_dev=w_dev):
+        return np.asarray(trace_rays_tiled_u32(ds, cfg, o_t, d_t, w_dev))
 
-base = run("single program", single)
+    run(f"T={tile_rays} single", single)
 
-for G in (2, 4, 8, 16, 32):
-    if n_tiles % G:
-        continue
-    per = n_tiles // G
+    for G in (2, 4, 8, 16, 32):
+        if n_tiles % G or n_tiles < G:
+            continue
+        per = n_tiles // G
 
-    def grouped(per=per):
-        outs = [
-            trace_rays_tiled_u32(
-                ds, cfg, o_t[g * per : (g + 1) * per],
-                d_t[g * per : (g + 1) * per], w_dev,
-            )
-            for g in range(G)
-        ]  # all dispatched before any fetch
-        return np.concatenate([np.asarray(o) for o in outs])
+        def grouped(per=per, G=G, cfg=cfg, ds=ds, o_t=o_t, d_t=d_t, w_dev=w_dev):
+            outs = [
+                trace_rays_tiled_u32(
+                    ds, cfg, o_t[g * per : (g + 1) * per],
+                    d_t[g * per : (g + 1) * per], w_dev,
+                )
+                for g in range(G)
+            ]  # all dispatched before any fetch
+            return np.concatenate([np.asarray(o) for o in outs])
 
-    run(f"G={G} overlapped", grouped)
+        run(f"T={tile_rays} G={G} overlapped", grouped)
