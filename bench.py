@@ -146,7 +146,11 @@ def main():
         width=width,
         height=height,
         scene_backface_culling=True,
-        tile_rays=int(os.environ.get("BENCH_TILE", 262144)),
+        # 131072-ray tiles + 8 overlapped fetch groups measured fastest at
+        # 1080p (same-session sweep, scripts/tpu_overlap_bench.py round 3:
+        # 718 ms vs 810 at 262144/G=8 and 755 at 65536/G=8 — 16 tiles give
+        # the fetch pipeline 2-tile groups to hide behind compute)
+        tile_rays=int(os.environ.get("BENCH_TILE", 131072)),
         max_nodes=int(os.environ.get("BENCH_MAX_NODES", 48)),
         weight_cutoff=float(os.environ.get("BENCH_WEIGHT_CUTOFF", 1e-3)),
         # compiled Pallas needs a real TPU; the BENCH_CPU protocol self-test

@@ -68,8 +68,23 @@ for name, feats in CONFIGS.items():
     o_np, d_np = build_frame_rays(cfg, plan)
     o_t, d_t = jnp.asarray(o_np), jnp.asarray(d_np)
     w_dev = jnp.asarray(plan.weights)
+    n_tiles = o_t.shape[0]
+    # the extreme row at >=960x540 outlives the relay's ~4-min worker
+    # watchdog in one program (observed: worker crash mid-row); chunk it
+    # like bench.py's tiles_per_program path, syncing per group
+    tpp = int(os.environ.get("CFGBENCH_TPP", 4)) if name == "extreme" else 0
 
-    def frame():
+    def frame(ds=ds, cfg=cfg, o_t=o_t, d_t=d_t, w_dev=w_dev,
+              n_tiles=n_tiles, tpp=tpp):
+        if tpp and tpp < n_tiles:
+            parts = []
+            for gs in range(0, n_tiles, tpp):
+                out = trace_rays_tiled_u32(
+                    ds, cfg, o_t[gs : gs + tpp], d_t[gs : gs + tpp], w_dev
+                )
+                np.asarray(out[0, 0])  # per-group sync (watchdog safety)
+                parts.append(out)
+            return np.concatenate([np.asarray(p) for p in parts])
         return np.asarray(trace_rays_tiled_u32(ds, cfg, o_t, d_t, w_dev))
 
     t0 = time.monotonic()
