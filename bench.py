@@ -171,8 +171,13 @@ def main():
             os.environ.get("BENCH_TRI_BLOCK", 64 if width * height >= 10**6 else 512)
         ),
         # cap tiles per launched program (heavy configs can outlive the
-        # relay worker watchdog ~4 min in a single program; see PERF.md)
-        tiles_per_program=int(os.environ.get("BENCH_TPP", 0)),
+        # relay worker watchdog ~4 min in a single program; see PERF.md).
+        # extreme defaults to 4-tile chunks — at full res one unchunked
+        # program is a guaranteed worker kill, and even 480x270 with the
+        # reference-default AA features runs minutes per program
+        tiles_per_program=int(
+            os.environ.get("BENCH_TPP", 4 if config_name == "extreme" else 0)
+        ),
         # multi-chip: shard the frame's tile axis over N devices (needs N
         # attached chips; validated on the 8-way virtual CPU mesh in tests)
         devices=int(os.environ.get("BENCH_DEVICES", 1)),

@@ -20,8 +20,8 @@ def _run(env_extra):
         BENCH_HEIGHT="24",
         BENCH_TILE="768",
         BENCH_PALLAS="0",
-        **env_extra,
     )
+    env.update(env_extra)
     p = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
         env=env, capture_output=True, text=True, timeout=540,
@@ -38,6 +38,22 @@ def test_bench_json_contract_realistic():
     out, err = _run({})
     assert "realistic" in out["metric"]
     assert '"compile_s"' in err  # compile telemetry for the driver tail
+
+
+def test_bench_overlapped_groups_path():
+    # the 1080p default takes the overlapped-fetch branch (16 tiles in 8
+    # groups of 2 since the 131072-tile default); exercise that branch
+    # shape-for-shape at tiny scale: 8 tiles of 384 rays in 4 groups of 2
+    out, _ = _run(
+        {
+            "BENCH_WIDTH": "64",
+            "BENCH_HEIGHT": "48",
+            "BENCH_TILE": "384",
+            "BENCH_OVERLAP": "4",
+            "BENCH_U32": "1",
+        }
+    )
+    assert "realistic" in out["metric"]
 
 
 def test_bench_multi_session_picks_best():
