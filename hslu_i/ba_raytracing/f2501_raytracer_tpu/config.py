@@ -184,6 +184,15 @@ class RenderConfig:
     # soft-shadow clouds x hq mesh) can run many minutes in one program,
     # which the remote-relay worker watchdog kills — cap them.
     tiles_per_program: int = 0
+    # overlapped fetch: split the fused u32 frame into N programs, dispatch
+    # them ALL, then fetch in order — group g's host fetch rides while g+1
+    # computes. On the remote relay this cut the 1080p wall 810 -> 718 ms
+    # same-session (scripts/tpu_overlap_bench.py; 16 tiles in 8 groups of 2
+    # is the measured optimum with the 131072-ray tile default). Applies
+    # when it divides the frame's tile count; single-chip u32 path only
+    # (tiles_per_program and mesh mode must sync between launches instead).
+    # 1 = off (one program, fetch after).
+    fetch_groups: int = 8
     # devices > 1 shards the frame's tile axis over a jax.sharding.Mesh:
     # each chip traces its local tiles (scene replicated, rays data-parallel,
     # SURVEY.md §2.3); outputs stay device-sharded for host assembly

@@ -239,7 +239,33 @@ class RaytracerRenderer:
                         )
                     )
 
-                if group >= n_pad:
+                fg = cfg.fetch_groups
+                if (
+                    group >= n_pad
+                    and not use_mesh
+                    and fg > 1
+                    and n_pad >= fg
+                    and n_pad % fg == 0
+                ):
+                    # overlapped fetch (cfg.fetch_groups): dispatch every
+                    # group before fetching any, so group g's host transfer
+                    # rides while g+1 computes — same-session 810 -> 718 ms
+                    # at 1080p (PERF.md round 3). Bit-identical: grouping
+                    # only batches the same per-tile lax.map differently.
+                    per = n_pad // fg
+                    o_j = jax.numpy.asarray(o_all)
+                    d_j = jax.numpy.asarray(d_all)
+                    parts = [
+                        trace_rays_tiled_u32(
+                            dscene, cfg,
+                            o_j[g * per : (g + 1) * per],
+                            d_j[g * per : (g + 1) * per],
+                            w_dev,
+                        )
+                        for g in range(fg)
+                    ]
+                    u32 = np.concatenate([np.asarray(p) for p in parts])[:n_tiles]
+                elif group >= n_pad:
                     u32 = u32_group(o_all, d_all)
                 else:
                     us = [

@@ -56,10 +56,20 @@ W0, H0 = 1920, 1080
 RT = int(os.environ.get("RT", 256))
 R = 131072
 
+# ABLATE_CONFIG=extreme: decompose the 140-cloud-light hq-mesh kernel
+# (nb=228 Morton blocks) instead of the 5-light realistic one — the gate
+# pass scales with lights x blocks, so its share differs by ~250x
+FEATS = dict(reflections=True, refractions=True, light_reflections=True)
+if os.environ.get("ABLATE_CONFIG") == "extreme":
+    W0, H0 = 1620, 1350
+    FEATS.update(
+        anti_aliasing_rotation_scale=True, anti_aliasing_randomness=True,
+        extreme_quality=True, high_quality_model=True,
+    )
+
 cfg = RenderConfig(
-    width=W0, height=H0, reflections=True, refractions=True,
-    light_reflections=True, scene_backface_culling=True, use_pallas=True,
-    triangle_block=64, kernel_ray_tile=RT,
+    width=W0, height=H0, scene_backface_culling=True, use_pallas=True,
+    triangle_block=64, kernel_ray_tile=RT, **FEATS,
 )
 scene = build("semesterbild", cfg)
 scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))

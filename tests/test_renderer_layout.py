@@ -106,3 +106,23 @@ def test_progressive_path_matches_fused():
     np.testing.assert_array_equal(
         fused.color[fused.valid], prog.color[prog.valid]
     )
+
+
+def test_fetch_groups_overlap_is_bit_identical():
+    """cfg.fetch_groups splits the fused u32 frame into N dispatched-ahead
+    programs (overlapped fetch, PERF.md round 3); grouping batches the same
+    per-tile lax.map differently so the u32 frame must be BIT-identical."""
+    # 64x48 = 3072 pixels, tile_rays=384 -> 8 tiles (divisible by fg=8 and 4)
+    cfg = _cfg(width=64, height=48, tile_rays=384, device_encode=True)
+    scene = mixed_scene(cfg)
+    ds = build_device_scene(scene, cfg)
+
+    one = RaytracerRenderer(
+        dataclasses.replace(cfg, fetch_groups=1)
+    ).render_device(ds)
+    for fg in (4, 8):
+        g = RaytracerRenderer(
+            dataclasses.replace(cfg, fetch_groups=fg)
+        ).render_device(ds)
+        np.testing.assert_array_equal(one.valid, g.valid)
+        np.testing.assert_array_equal(one.as_u8(), g.as_u8())
