@@ -69,15 +69,20 @@ if os.environ.get("ABLATE_CONFIG") == "extreme":
 
 cfg = RenderConfig(
     width=W0, height=H0, scene_backface_culling=True, use_pallas=True,
-    triangle_block=64, kernel_ray_tile=RT, **FEATS,
+    triangle_block=int(os.environ.get("TB", 64)), kernel_ray_tile=RT, **FEATS,
 )
 scene = build("semesterbild", cfg)
 scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
 ds = build_device_scene(scene, cfg)
 plan = plan_frame(cfg)
 o_np, d_np = build_frame_rays(cfg, plan)
-o = jnp.asarray(o_np.reshape(-1, 3)[4 * R : 5 * R])
-d = normalized(jnp.asarray(d_np.reshape(-1, 3)[4 * R : 5 * R]))
+# representative slice: the MIDDLE of the frame (a fixed 4R offset lands in
+# the background sky under AA expansion — extreme's 17 rays/px put ray 4R at
+# image row ~20, where nothing hits and the whole kernel gates away)
+flat_o = o_np.reshape(-1, 3)
+mid = max(0, flat_o.shape[0] // 2 - R // 2)
+o = jnp.asarray(flat_o[mid : mid + R])
+d = normalized(jnp.asarray(d_np.reshape(-1, 3)[mid : mid + R]))
 hit = cast_rays(ds, o, d, cfg.backface_culling, True)
 jax.block_until_ready(hit.point)
 print(f"wavefront: {R} rays, {float(jnp.mean(hit.valid))*100:.1f}% hit; "
