@@ -29,6 +29,7 @@ Semantics are identical to ops/intersect.py (same reference citations).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1094,6 +1095,12 @@ def pallas_occlude_triangles(
 # per-ray point transforms are shared across the chunk's shadow scans
 MAX_UNROLL_LIGHTS = 8
 
+# fold per-ray opaque occlusion from the sphere/big-primitive pre-pass into
+# the Morton block gates (exact; see the comment at the fold site). Module
+# flag (env-overridable) so the ablation harness and bench can time the
+# fold off for an A/B.
+OPQ_GATE = os.environ.get("RT_OPQ_GATE", "1") != "0"
+
 
 def _bigtri_occl_split(trb, sox, soy, soz, dx, dy, dz, maxd,
                        backface_culling, trans_rows):
@@ -1349,6 +1356,13 @@ def _tri_occl_lights(
                 & (tn <= lj["maxd"][None, :])
                 & (lj["maxd"][None, :] > 0.0)
             )
+            if OPQ_GATE:
+                # per-ray refinement of the rank-0 done flag: a lane already
+                # fully occluded by the sphere/big-primitive pre-pass
+                # contributes nothing downstream (can_reach=False masks every
+                # term using dec/fr/fg/fb — raytracer.rs:94-96 semantics), so
+                # it drops out of the block gates exactly like maxd=0 lanes
+                cross &= (carries[j][1] < 1.0)[None, :]
             for b in range(nb):  # static rows -> rank-0 any -> SMEM scalar
                 gates_scr[b, j] = jnp.where(
                     jnp.any(cross[b]), jnp.float32(1.0), jnp.float32(0.0)

@@ -109,3 +109,28 @@ for tile_rays in TILES:
             return np.concatenate([np.asarray(o) for o in outs])
 
         run(f"T={tile_rays} G={G} overlapped", grouped)
+
+    # tapered schedules: the exposed wall tail is the LAST group's fetch
+    # (~13 ms/tile through the relay), so shrink late groups; early groups
+    # can be bigger since their fetches hide under more remaining compute.
+    # OVERLAP_TAPER="3,3,2,2,2,2,1,1;2,2,2,2,2,2,2,1,1" (sizes must sum to
+    # n_tiles; each distinct size compiles once, cache-amortized)
+    for spec in [t for t in os.environ.get("OVERLAP_TAPER", "").split(";") if t]:
+        sizes = [int(v) for v in spec.split(",")]
+        if sum(sizes) != n_tiles:
+            print(f"taper {spec}: sizes sum {sum(sizes)} != {n_tiles}, skip",
+                  flush=True)
+            continue
+
+        def tapered(sizes=sizes, cfg=cfg, ds=ds, o_t=o_t, d_t=d_t, w_dev=w_dev):
+            outs, gs = [], 0
+            for sz in sizes:
+                outs.append(
+                    trace_rays_tiled_u32(
+                        ds, cfg, o_t[gs : gs + sz], d_t[gs : gs + sz], w_dev
+                    )
+                )
+                gs += sz
+            return np.concatenate([np.asarray(o) for o in outs])
+
+        run(f"T={tile_rays} taper {spec}", tapered)

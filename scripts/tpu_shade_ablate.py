@@ -145,6 +145,9 @@ VARIANTS = {
         "_bigtri_occl_split": zeros_big,
         "use_aabb": False,
     },
+    # per-ray opaque-occlusion gate fold disabled (round-3b A/B; the fold
+    # is exact, so `full` vs `opq_off` outputs must be bit-identical)
+    "opq_off": {"OPQ_GATE": False},
 }
 
 only = [v for v in os.environ.get("VARIANTS", "").split(",") if v]
@@ -319,6 +322,7 @@ for name, patches in VARIANTS.items():
         PK._pair_flip_update = orig_pair
         PK._sphere_occl_comp = orig_sph
         PK._bigtri_occl_split = orig_big
+        PK.OPQ_GATE = True
 
 full = results.get(f"full@{RTS[0]}")
 if full:
