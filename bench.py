@@ -127,6 +127,7 @@ def main():
     )
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import (
         build_frame_rays,
+        fetch_schedule,
         plan_frame,
     )
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
@@ -245,6 +246,7 @@ def main():
     # after the whole lax.map program finishes). Mutually exclusive with the
     # tiles_per_program watchdog path (that one must sync between groups).
     overlap = int(os.environ.get("BENCH_OVERLAP", 8))
+    taper = os.environ.get("BENCH_TAPER", "1") == "1"
 
     def frame():
         # whole frame as ONE program: per-launch overhead is high on
@@ -292,17 +294,24 @@ def main():
         # n_tiles == overlap is the 1080p default (8 tiles of 262k): one
         # tile per group still overlaps each group's fetch with the next
         # group's compute, which is the whole point
-        elif use_u32 and overlap > 1 and n_tiles % overlap == 0 and n_tiles >= overlap:
-            per = n_tiles // overlap
-            parts = [
-                trace_rays_tiled_u32(
-                    dscene, cfg,
-                    o_tiles[g * per : (g + 1) * per],
-                    d_tiles[g * per : (g + 1) * per],
-                    w_dev,
+        elif use_u32 and overlap > 1 and (
+            (taper and n_tiles >= 2)
+            or (n_tiles % overlap == 0 and n_tiles >= overlap)
+        ):
+            if taper:  # front-loaded sizes: the exposed tail is the LAST
+                # group's fetch (725 vs 740 ms uniform, same session)
+                sizes = fetch_schedule(n_tiles, max_groups=max(overlap, 2))
+            else:
+                sizes = [n_tiles // overlap] * overlap
+            parts, gs = [], 0
+            for sz in sizes:  # all dispatched before any fetch
+                parts.append(
+                    trace_rays_tiled_u32(
+                        dscene, cfg, o_tiles[gs : gs + sz],
+                        d_tiles[gs : gs + sz], w_dev,
+                    )
                 )
-                for g in range(overlap)
-            ]  # all dispatched before any fetch
+                gs += sz
             return np.concatenate([np.asarray(p) for p in parts])
         elif use_u32:
             outs = trace_rays_tiled_u32(dscene, cfg, o_tiles, d_tiles, w_dev)

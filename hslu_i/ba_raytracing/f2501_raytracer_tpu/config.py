@@ -193,6 +193,14 @@ class RenderConfig:
     # (tiles_per_program and mesh mode must sync between launches instead).
     # 1 = off (one program, fetch after).
     fetch_groups: int = 8
+    # front-loaded (tapered) fetch schedule: the exposed wall tail is the
+    # LAST group's host fetch, so late groups shrink to 1 tile and early
+    # groups grow (their fetches hide under more remaining compute) —
+    # same-session 725 vs 740 ms at 1080p/16 tiles vs uniform G=8
+    # (scripts/tpu_overlap_bench.py taper mode). Also lifts the
+    # divisibility requirement (any tile count >= 2 overlaps). False =
+    # uniform fetch_groups-way split as before.
+    fetch_taper: bool = True
     # devices > 1 shards the frame's tile axis over a jax.sharding.Mesh:
     # each chip traces its local tiles (scene replicated, rays data-parallel,
     # SURVEY.md §2.3); outputs stay device-sharded for host assembly

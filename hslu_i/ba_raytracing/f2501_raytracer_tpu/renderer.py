@@ -56,6 +56,32 @@ class FramePlan:
         return self.offsets.shape[0]
 
 
+def fetch_schedule(n_tiles: int, max_groups: int = 8) -> list:
+    """Front-loaded fetch-group sizes summing to `n_tiles` (cfg.fetch_taper):
+    built back-to-front as 1,1,2,2,3,3,... (the exposed wall tail is the
+    last group's host fetch; an early group's fetch hides under all the
+    compute still queued behind it), overshoot trimmed, then desc-sorted.
+    Group count is capped by merging the largest groups — program-switch
+    bubbles grow with group count (G=16 measured worse than G=8,
+    scripts/tpu_overlap_bench.py)."""
+    sizes, k = [], 1
+    while sum(sizes) < n_tiles:
+        for _ in range(2):
+            if sum(sizes) >= n_tiles:
+                break
+            sizes.append(k)
+        k += 1
+    over = sum(sizes) - n_tiles
+    if over:
+        sizes[-1] -= over
+        if sizes[-1] == 0:
+            sizes.pop()
+    sizes.sort(reverse=True)
+    while len(sizes) > max_groups:
+        sizes = [sizes[0] + sizes[1]] + sizes[2:]
+    return sizes
+
+
 def plan_frame(cfg: RenderConfig) -> FramePlan:
     H, W = cfg.height, cfg.width
     total_pixels = H * W
@@ -244,26 +270,33 @@ class RaytracerRenderer:
                     group >= n_pad
                     and not use_mesh
                     and fg > 1
-                    and n_pad >= fg
-                    and n_pad % fg == 0
+                    and (
+                        (cfg.fetch_taper and n_pad >= 2)
+                        or (n_pad >= fg and n_pad % fg == 0)
+                    )
                 ):
                     # overlapped fetch (cfg.fetch_groups): dispatch every
                     # group before fetching any, so group g's host transfer
                     # rides while g+1 computes — same-session 810 -> 718 ms
                     # at 1080p (PERF.md round 3). Bit-identical: grouping
                     # only batches the same per-tile lax.map differently.
-                    per = n_pad // fg
+                    # fetch_taper front-loads the sizes (the exposed tail
+                    # is the LAST group's fetch — 725 vs 740 ms uniform).
+                    if cfg.fetch_taper:
+                        sizes = fetch_schedule(n_pad, max_groups=max(fg, 2))
+                    else:
+                        sizes = [n_pad // fg] * fg
                     o_j = jax.numpy.asarray(o_all)
                     d_j = jax.numpy.asarray(d_all)
-                    parts = [
-                        trace_rays_tiled_u32(
-                            dscene, cfg,
-                            o_j[g * per : (g + 1) * per],
-                            d_j[g * per : (g + 1) * per],
-                            w_dev,
+                    parts, gs = [], 0
+                    for sz in sizes:
+                        parts.append(
+                            trace_rays_tiled_u32(
+                                dscene, cfg, o_j[gs : gs + sz],
+                                d_j[gs : gs + sz], w_dev,
+                            )
                         )
-                        for g in range(fg)
-                    ]
+                        gs += sz
                     u32 = np.concatenate([np.asarray(p) for p in parts])[:n_tiles]
                 elif group >= n_pad:
                     u32 = u32_group(o_all, d_all)

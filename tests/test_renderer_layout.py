@@ -111,7 +111,8 @@ def test_progressive_path_matches_fused():
 def test_fetch_groups_overlap_is_bit_identical():
     """cfg.fetch_groups splits the fused u32 frame into N dispatched-ahead
     programs (overlapped fetch, PERF.md round 3); grouping batches the same
-    per-tile lax.map differently so the u32 frame must be BIT-identical."""
+    per-tile lax.map differently so the u32 frame must be BIT-identical —
+    with the tapered schedule (default) and the uniform split alike."""
     # 64x48 = 3072 pixels, tile_rays=384 -> 8 tiles (divisible by fg=8 and 4)
     cfg = _cfg(width=64, height=48, tile_rays=384, device_encode=True)
     scene = mixed_scene(cfg)
@@ -120,9 +121,43 @@ def test_fetch_groups_overlap_is_bit_identical():
     one = RaytracerRenderer(
         dataclasses.replace(cfg, fetch_groups=1)
     ).render_device(ds)
-    for fg in (4, 8):
+    for fg, taper in ((4, False), (8, False), (8, True)):
         g = RaytracerRenderer(
-            dataclasses.replace(cfg, fetch_groups=fg)
+            dataclasses.replace(cfg, fetch_groups=fg, fetch_taper=taper)
         ).render_device(ds)
         np.testing.assert_array_equal(one.valid, g.valid)
         np.testing.assert_array_equal(one.as_u8(), g.as_u8())
+
+
+def test_fetch_taper_overlaps_odd_tile_counts():
+    """The tapered schedule lifts the uniform split's divisibility
+    requirement: a 7-tile frame (not divisible by fetch_groups=8, so the
+    uniform path fell back to a single program) must still render
+    bit-identically through the tapered overlap path."""
+    # 56x48 = 2688 pixels, tile_rays=384 -> 7 tiles
+    cfg = _cfg(width=56, height=48, tile_rays=384, device_encode=True)
+    scene = mixed_scene(cfg)
+    ds = build_device_scene(scene, cfg)
+    one = RaytracerRenderer(
+        dataclasses.replace(cfg, fetch_groups=1)
+    ).render_device(ds)
+    g = RaytracerRenderer(
+        dataclasses.replace(cfg, fetch_groups=8, fetch_taper=True)
+    ).render_device(ds)
+    np.testing.assert_array_equal(one.valid, g.valid)
+    np.testing.assert_array_equal(one.as_u8(), g.as_u8())
+
+
+def test_fetch_schedule_shapes():
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import fetch_schedule
+
+    assert fetch_schedule(16) == [4, 3, 3, 2, 2, 1, 1]
+    assert fetch_schedule(8) == [2, 2, 2, 1, 1]
+    assert fetch_schedule(2) == [1, 1]
+    assert fetch_schedule(1) == [1]
+    for n in range(1, 70):
+        s = fetch_schedule(n)
+        assert sum(s) == n
+        assert s == sorted(s, reverse=True)  # front-loaded
+        assert len(s) <= 8
+        assert all(x >= 1 for x in s)
