@@ -312,6 +312,12 @@ def main():
                     )
                 )
                 gs += sz
+            # queue every D2H up front: results stream to the host as each
+            # group finishes instead of paying one blocking relay round trip
+            # per group (interleaved A/B: median -35 ms, all rounds negative,
+            # scripts/tpu_taper_ab.py AB_MODE=async)
+            for p in parts:
+                p.copy_to_host_async()
             return np.concatenate([np.asarray(p) for p in parts])
         elif use_u32:
             outs = trace_rays_tiled_u32(dscene, cfg, o_tiles, d_tiles, w_dev)

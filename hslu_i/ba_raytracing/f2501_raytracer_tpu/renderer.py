@@ -297,6 +297,12 @@ class RaytracerRenderer:
                             )
                         )
                         gs += sz
+                    # queue every D2H up front: results stream to the host
+                    # as groups finish instead of one blocking relay round
+                    # trip per group (-35 ms median paired at 1080p,
+                    # scripts/tpu_taper_ab.py)
+                    for p in parts:
+                        p.copy_to_host_async()
                     u32 = np.concatenate([np.asarray(p) for p in parts])[:n_tiles]
                 elif group >= n_pad:
                     u32 = u32_group(o_all, d_all)

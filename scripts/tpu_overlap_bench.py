@@ -134,3 +134,22 @@ for tile_rays in TILES:
             return np.concatenate([np.asarray(o) for o in outs])
 
         run(f"T={tile_rays} taper {spec}", tapered)
+
+        def tapered_async(sizes=sizes, cfg=cfg, ds=ds, o_t=o_t, d_t=d_t,
+                          w_dev=w_dev):
+            # queue every D2H up front (copy_to_host_async) so the relay can
+            # stream results as groups finish, instead of paying one blocking
+            # round trip per group in the fetch loop
+            outs, gs = [], 0
+            for sz in sizes:
+                outs.append(
+                    trace_rays_tiled_u32(
+                        ds, cfg, o_t[gs : gs + sz], d_t[gs : gs + sz], w_dev
+                    )
+                )
+                gs += sz
+            for o in outs:
+                o.copy_to_host_async()
+            return np.concatenate([np.asarray(o) for o in outs])
+
+        run(f"T={tile_rays} taper+async {spec}", tapered_async)
