@@ -124,6 +124,7 @@ def main():
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import (
         trace_rays_tiled,
         trace_rays_tiled_u32,
+        trace_rays_tiled_u32_gen,
     )
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import (
         build_frame_rays,
@@ -210,22 +211,42 @@ def main():
     # AA samples — renderer.plan_frame)
     n_pix = width * height
     plan = plan_frame(cfg)
-    o_np, d_np = build_frame_rays(cfg, plan)
-    n_tiles, tile = o_np.shape[0], o_np.shape[1]
     aa = plan.aa
     n_rays = n_pix * aa
-    if cfg.devices > 1:  # pad the tile axis so every device gets equal tiles
-        n_pad = (n_tiles + cfg.devices - 1) // cfg.devices * cfg.devices
-        if n_pad != n_tiles:
-            o_np = np.concatenate(
-                [o_np, np.zeros((n_pad - n_tiles, tile, 3), np.float32)]
-            )
-            d_np = np.concatenate(
-                [d_np, np.tile(np.float32([0, 0, 1]), (n_pad - n_tiles, tile, 1))]
-            )
-            n_tiles = n_pad
-    o_tiles = jnp.asarray(o_np)
-    d_tiles = jnp.asarray(d_np)
+    n_tiles = plan.n_tiles
+    # device-side ray generation (default): the frame program takes the
+    # compact pixel permutation (4 B/pixel, uploaded once) and rebuilds the
+    # rays bit-identically in-program — no host (o, d) buffers at all
+    # (24·aa B/pixel; ~0.9 GB at extreme full res). BENCH_RAYGEN=0 restores
+    # the host build. Mesh mode keeps host rays (sharded upload path).
+    raygen = (
+        os.environ.get("BENCH_RAYGEN", "1") == "1"
+        and cfg.device_encode
+        and cfg.devices == 1
+    )
+    if raygen:
+        from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import (
+            frame_order_device,
+        )
+
+        order_dev, offs_dev = frame_order_device(cfg, plan, n_tiles)
+        pixt = plan.pix_per_tile
+        o_tiles = d_tiles = None
+    else:
+        o_np, d_np = build_frame_rays(cfg, plan)
+        tile = o_np.shape[1]
+        if cfg.devices > 1:  # pad the tile axis for equal per-device tiles
+            n_pad = (n_tiles + cfg.devices - 1) // cfg.devices * cfg.devices
+            if n_pad != n_tiles:
+                o_np = np.concatenate(
+                    [o_np, np.zeros((n_pad - n_tiles, tile, 3), np.float32)]
+                )
+                d_np = np.concatenate(
+                    [d_np, np.tile(np.float32([0, 0, 1]), (n_pad - n_tiles, tile, 1))]
+                )
+                n_tiles = n_pad
+        o_tiles = jnp.asarray(o_np)
+        d_tiles = jnp.asarray(d_np)
     w_dev = jnp.asarray(plan.weights)
     if cfg.devices > 1:
         from hslu_i.ba_raytracing.f2501_raytracer_tpu.parallel.mesh import (
@@ -263,19 +284,35 @@ def main():
         elif group and group < n_tiles:
             n_g = (n_tiles + group - 1) // group * group
             pad_g = n_g - n_tiles
-            o_g = jnp.concatenate([o_tiles, o_tiles[:pad_g]]) if pad_g else o_tiles
-            d_g = jnp.concatenate([d_tiles, d_tiles[:pad_g]]) if pad_g else d_tiles
+            if raygen:
+                # pad slots are -1 (harmless +z rays) like the host build
+                og_pad = jnp.concatenate(
+                    [order_dev, jnp.full((pad_g * pixt,), -1, jnp.int32)]
+                ) if pad_g else order_dev
+            else:
+                o_g = jnp.concatenate([o_tiles, o_tiles[:pad_g]]) if pad_g else o_tiles
+                d_g = jnp.concatenate([d_tiles, d_tiles[:pad_g]]) if pad_g else d_tiles
             parts = []
             for gs in range(0, n_g, group):
                 t_g = time.monotonic()
-                og, dg = o_g[gs : gs + group], d_g[gs : gs + group]
                 if use_u32:
-                    out = trace_rays_tiled_u32(dscene, cfg, og, dg, w_dev)
+                    if raygen:
+                        out = trace_rays_tiled_u32_gen(
+                            dscene, cfg,
+                            og_pad[gs * pixt : (gs + group) * pixt],
+                            offs_dev, w_dev, n_tiles=group,
+                        )
+                    else:
+                        out = trace_rays_tiled_u32(
+                            dscene, cfg, o_g[gs : gs + group],
+                            d_g[gs : gs + group], w_dev,
+                        )
                     # sync per group: an unbroken multi-minute device queue
                     # can trip the relay worker watchdog just like one long
                     # program; only a value fetch proves the group finished
                     np.asarray(out[0, 0])
                 else:
+                    og, dg = o_g[gs : gs + group], d_g[gs : gs + group]
                     out = trace_rays_tiled(dscene, cfg, og, dg)
                     jax.block_until_ready(out[1])
                     np.asarray(out[0])[0, 0]
@@ -305,12 +342,21 @@ def main():
                 sizes = [n_tiles // overlap] * overlap
             parts, gs = [], 0
             for sz in sizes:  # all dispatched before any fetch
-                parts.append(
-                    trace_rays_tiled_u32(
-                        dscene, cfg, o_tiles[gs : gs + sz],
-                        d_tiles[gs : gs + sz], w_dev,
+                if raygen:
+                    parts.append(
+                        trace_rays_tiled_u32_gen(
+                            dscene, cfg,
+                            order_dev[gs * pixt : (gs + sz) * pixt],
+                            offs_dev, w_dev, n_tiles=sz,
+                        )
                     )
-                )
+                else:
+                    parts.append(
+                        trace_rays_tiled_u32(
+                            dscene, cfg, o_tiles[gs : gs + sz],
+                            d_tiles[gs : gs + sz], w_dev,
+                        )
+                    )
                 gs += sz
             # queue every D2H up front: results stream to the host as each
             # group finishes instead of paying one blocking relay round trip
@@ -320,7 +366,12 @@ def main():
                 p.copy_to_host_async()
             return np.concatenate([np.asarray(p) for p in parts])
         elif use_u32:
-            outs = trace_rays_tiled_u32(dscene, cfg, o_tiles, d_tiles, w_dev)
+            if raygen:
+                outs = trace_rays_tiled_u32_gen(
+                    dscene, cfg, order_dev, offs_dev, w_dev, n_tiles=n_tiles
+                )
+            else:
+                outs = trace_rays_tiled_u32(dscene, cfg, o_tiles, d_tiles, w_dev)
         else:
             outs = trace_rays_tiled(dscene, cfg, o_tiles, d_tiles)
         # fetch the full frame to the host — the frame isn't "rendered"

@@ -219,6 +219,13 @@ class RenderConfig:
     # the f32 fetch is a measurable share of frame latency (PERF.md).
     # Invalid pixels encode as 0x00000000 (alpha 0 = never written).
     device_encode: bool = False
+    # generate primary rays ON DEVICE from the compact tile-major pixel
+    # permutation (4 B/pixel uploaded once) instead of host-built (o, d)
+    # buffers (24·U B/pixel — ~0.9 GB at extreme AA): rays are affine in
+    # the pixel index, so the frame program rebuilds them bit-identically
+    # (ops/trace.py::trace_rays_tiled_u32_gen). Applies to the overlapped
+    # u32 fetch path; other paths keep the host build.
+    device_ray_gen: bool = True
     interpret: bool = False  # pallas interpreter mode (CPU tests)
     # None = auto (pallas on TPU backends, XLA elsewhere); the renderer and
     # bench resolve it via resolve_use_pallas()

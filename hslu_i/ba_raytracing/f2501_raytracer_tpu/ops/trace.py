@@ -383,6 +383,44 @@ def trace_rays_tiled_u32(scene: DeviceScene, cfg: RenderConfig, o_tiles, d_tiles
     return jax.lax.map(per_tile, (o_tiles, d_tiles))
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_tiles"))
+def trace_rays_tiled_u32_gen(scene: DeviceScene, cfg: RenderConfig,
+                             order_group, offsets, aa_weights, n_tiles: int):
+    """`trace_rays_tiled_u32` with DEVICE-SIDE ray generation: primary rays
+    are an affine function of the pixel index (coords = px*w2s, dir =
+    coords - focus, AA samples jitter the origin by a small table —
+    ops/camera.py), so the frame program takes only the compact tile-major
+    pixel permutation (4 bytes/pixel, uploaded once per plan) instead of
+    host-built (o, d) ray buffers (24·U bytes/pixel — ~0.9 GB at extreme
+    AA). Bit-identical to the host build: the same f32 ops in the same
+    order (tests/test_renderer_layout.py gen gate).
+
+    order_group: (n_tiles * P,) int32 row-major pixel indices in tile-major
+    order, -1 marks padding slots beyond the frame (traced as harmless +z
+    rays exactly like build_frame_rays' padding)."""
+    P = order_group.shape[0] // n_tiles
+    U = offsets.shape[0]
+    cam = cfg.camera
+    focus = jnp.asarray(cam.render_ray_focus, jnp.float32)
+    zdir = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+
+    def per_tile(og_t):
+        pad = og_t < 0
+        idx = jnp.maximum(og_t, 0)
+        px = (idx % cfg.width).astype(jnp.float32) * jnp.float32(cam.w2s_width)
+        py = (idx // cfg.width).astype(jnp.float32) * jnp.float32(cam.w2s_height)
+        coords = jnp.stack([px, py, jnp.zeros_like(px)], axis=-1)  # (P, 3)
+        dirs = coords - focus[None, :]
+        o = coords[:, None, :] + offsets[None, :, :]  # (P, U, 3)
+        d = jnp.broadcast_to(dirs[:, None, :], (P, U, 3))
+        o = jnp.where(pad[:, None, None], 0.0, o).reshape(P * U, 3)
+        d = jnp.where(pad[:, None, None], zdir[None, None, :], d).reshape(P * U, 3)
+        color, valid = trace_rays.__wrapped__(scene, cfg, o, d)
+        return encode_pixels_u32(color, valid, aa_weights)
+
+    return jax.lax.map(per_tile, order_group.reshape(n_tiles, P))
+
+
 def encode_pixels_u32(color, valid, aa_weights):
     """Fused AA reduction + pixel encode for one tile's (T, 3) colors and
     (T,) valid mask, T = pixels · U consecutive weighted AA samples:

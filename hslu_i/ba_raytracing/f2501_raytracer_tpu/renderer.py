@@ -143,6 +143,18 @@ def build_frame_rays(cfg: RenderConfig, plan: FramePlan):
     )
 
 
+def frame_order_device(cfg: RenderConfig, plan: FramePlan, n_pad: int):
+    """Device inputs for trace_rays_tiled_u32_gen: the tile-major pixel
+    permutation padded with -1 to n_pad tiles (4 B/pixel-slot int32,
+    uploaded once) and the AA offset table."""
+    import jax.numpy as jnp
+
+    slots = n_pad * plan.pix_per_tile
+    order_pad = np.full((slots,), -1, np.int32)
+    order_pad[: plan.order.shape[0]] = plan.order
+    return jnp.asarray(order_pad), jnp.asarray(plan.offsets)
+
+
 class RaytracerRenderer:
     def __init__(self, cfg: RenderConfig):
         self.cfg = cfg.resolve_use_pallas()
@@ -204,7 +216,6 @@ class RaytracerRenderer:
         if progress is None:
             # one fused program for the whole frame
             n_tiles = plan.n_tiles
-            o_all, d_all = build_frame_rays(cfg, plan)
             # multi-chip mode: shard the tile axis over a device mesh
             # (scene replicated, rays data-parallel — SURVEY.md §2.3)
             use_mesh = cfg.devices > 1
@@ -224,13 +235,6 @@ class RaytracerRenderer:
                 n_avail if group >= n_avail
                 else (n_tiles + group - 1) // group * group
             )
-            if n_pad != n_tiles:
-                o_all = np.concatenate(
-                    [o_all, np.zeros((n_pad - n_tiles,) + o_all.shape[1:], np.float32)]
-                )
-                d_all = np.concatenate(
-                    [d_all, np.tile(np.float32([0, 0, 1]), (n_pad - n_tiles, o_all.shape[1], 1))]
-                )
             ws = bool(cfg.render_timing_debug) and not use_mesh
             if cfg.render_timing_debug and use_mesh:
                 print(
@@ -245,6 +249,29 @@ class RaytracerRenderer:
             # transfer identically. Falls back to the f32 path when per-tile
             # debug stats are requested.
             use_u32 = cfg.device_encode and not ws
+            fg = cfg.fetch_groups
+            overlap_ok = (
+                group >= n_pad
+                and not use_mesh
+                and fg > 1
+                and (
+                    (cfg.fetch_taper and n_pad >= 2)
+                    or (n_pad >= fg and n_pad % fg == 0)
+                )
+            )
+            # device-side ray generation (cfg.device_ray_gen): the overlap
+            # path takes the compact pixel permutation instead of host-built
+            # (o, d) buffers — skip building them entirely
+            use_gen = use_u32 and cfg.device_ray_gen and overlap_ok
+            if not use_gen:
+                o_all, d_all = build_frame_rays(cfg, plan)
+                if n_pad != n_tiles:
+                    o_all = np.concatenate(
+                        [o_all, np.zeros((n_pad - n_tiles,) + o_all.shape[1:], np.float32)]
+                    )
+                    d_all = np.concatenate(
+                        [d_all, np.tile(np.float32([0, 0, 1]), (n_pad - n_tiles, o_all.shape[1], 1))]
+                    )
             if use_u32:
                 w_dev = jax.numpy.asarray(weights)
 
@@ -265,16 +292,7 @@ class RaytracerRenderer:
                         )
                     )
 
-                fg = cfg.fetch_groups
-                if (
-                    group >= n_pad
-                    and not use_mesh
-                    and fg > 1
-                    and (
-                        (cfg.fetch_taper and n_pad >= 2)
-                        or (n_pad >= fg and n_pad % fg == 0)
-                    )
-                ):
+                if overlap_ok:
                     # overlapped fetch (cfg.fetch_groups): dispatch every
                     # group before fetching any, so group g's host transfer
                     # rides while g+1 computes — same-session 810 -> 718 ms
@@ -286,17 +304,32 @@ class RaytracerRenderer:
                         sizes = fetch_schedule(n_pad, max_groups=max(fg, 2))
                     else:
                         sizes = [n_pad // fg] * fg
-                    o_j = jax.numpy.asarray(o_all)
-                    d_j = jax.numpy.asarray(d_all)
                     parts, gs = [], 0
-                    for sz in sizes:
-                        parts.append(
-                            trace_rays_tiled_u32(
-                                dscene, cfg, o_j[gs : gs + sz],
-                                d_j[gs : gs + sz], w_dev,
+                    if use_gen:
+                        from .ops.trace import trace_rays_tiled_u32_gen
+
+                        order_dev, offs_dev = frame_order_device(cfg, plan, n_pad)
+                        P = plan.pix_per_tile
+                        for sz in sizes:
+                            parts.append(
+                                trace_rays_tiled_u32_gen(
+                                    dscene, cfg,
+                                    order_dev[gs * P : (gs + sz) * P],
+                                    offs_dev, w_dev, n_tiles=sz,
+                                )
                             )
-                        )
-                        gs += sz
+                            gs += sz
+                    else:
+                        o_j = jax.numpy.asarray(o_all)
+                        d_j = jax.numpy.asarray(d_all)
+                        for sz in sizes:
+                            parts.append(
+                                trace_rays_tiled_u32(
+                                    dscene, cfg, o_j[gs : gs + sz],
+                                    d_j[gs : gs + sz], w_dev,
+                                )
+                            )
+                            gs += sz
                     # queue every D2H up front: results stream to the host
                     # as groups finish instead of one blocking relay round
                     # trip per group (-35 ms median paired at 1080p,

@@ -42,19 +42,26 @@ o_np, d_np = build_frame_rays(cfg, plan)
 o, d = jnp.asarray(o_np), jnp.asarray(d_np)
 w_dev = jnp.asarray(plan.weights)
 n_tiles = o.shape[0]
-G = int(os.environ.get("HQ_G", 8))
-if n_tiles % G or n_tiles < G:
-    G = 1
-per = n_tiles // G
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import fetch_schedule
+
+# tapered schedule + async D2H streaming (same wall path as bench.py;
+# HQ_G=uniform-count override for A/Bs)
+G = int(os.environ.get("HQ_G", 0))
+if G:
+    sizes = [n_tiles // G] * G if n_tiles % G == 0 and n_tiles >= G else [n_tiles]
+else:
+    sizes = fetch_schedule(n_tiles)
 
 
 def frame():
-    parts = [
-        trace_rays_tiled_u32(
-            ds, cfg, o[g * per : (g + 1) * per], d[g * per : (g + 1) * per], w_dev
+    parts, gs = [], 0
+    for sz in sizes:
+        parts.append(
+            trace_rays_tiled_u32(ds, cfg, o[gs : gs + sz], d[gs : gs + sz], w_dev)
         )
-        for g in range(G)
-    ]  # all dispatched before any fetch (overlap compute with fetch)
+        gs += sz
+    for p in parts:  # queue every D2H up front (stream as groups finish)
+        p.copy_to_host_async()
     return np.concatenate([np.asarray(p) for p in parts])
 
 

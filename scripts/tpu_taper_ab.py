@@ -45,12 +45,31 @@ n = o_t.shape[0]
 ASYNC = os.environ.get("AB_ASYNC", "1") == "1"
 
 
-def frame(sizes, use_async):
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import (
+    trace_rays_tiled_u32_gen,
+)
+from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import frame_order_device
+
+order_dev, offs_dev = frame_order_device(cfg, plan, n)
+pixt = plan.pix_per_tile
+
+
+def frame(sizes, use_async, gen=False):
     outs, gs = [], 0
     for sz in sizes:
-        outs.append(
-            trace_rays_tiled_u32(ds, cfg, o_t[gs : gs + sz], d_t[gs : gs + sz], w_dev)
-        )
+        if gen:
+            outs.append(
+                trace_rays_tiled_u32_gen(
+                    ds, cfg, order_dev[gs * pixt : (gs + sz) * pixt],
+                    offs_dev, w_dev, n_tiles=sz,
+                )
+            )
+        else:
+            outs.append(
+                trace_rays_tiled_u32(
+                    ds, cfg, o_t[gs : gs + sz], d_t[gs : gs + sz], w_dev
+                )
+            )
         gs += sz
     if use_async:
         for o in outs:
@@ -60,24 +79,38 @@ def frame(sizes, use_async):
 
 # MODE=sched: uniform G8 vs tapered (async per AB_ASYNC on both)
 # MODE=async: uniform G8 with vs without the up-front copy_to_host_async
-if os.environ.get("AB_MODE", "sched") == "async":
+# MODE=gsweep: group-count sweep under async fetch (the G=8 default was
+#   tuned under the old blocking per-group fetch)
+mode = os.environ.get("AB_MODE", "sched")
+if mode == "async":
     VARIANTS = {
         "sync_fetch": ([n // 8] * 8, False),
         "async_fetch": ([n // 8] * 8, True),
+    }
+elif mode == "gsweep":
+    VARIANTS = {
+        f"G{g}": ([n // g] * g, True, False) for g in (2, 4, 8, 16) if n % g == 0
+    }
+    VARIANTS["taper"] = (fetch_schedule(n), True, False)
+elif mode == "raygen":
+    VARIANTS = {
+        "host_rays": (fetch_schedule(n), True, False),
+        "device_gen": (fetch_schedule(n), True, True),
     }
 else:
     VARIANTS = {
         "uniformG8": ([n // 8] * 8, ASYNC),
         "taper": (fetch_schedule(n), ASYNC),
     }
-for name, (s, ua) in VARIANTS.items():
-    frame(s, ua)  # compile
+VARIANTS = {k: (v + (False,))[:3] for k, v in VARIANTS.items()}
+for name, (s, ua, gen) in VARIANTS.items():
+    frame(s, ua, gen)  # compile
 rounds = int(os.environ.get("AB_ROUNDS", 8))
 res = {k: [] for k in VARIANTS}
 for r in range(rounds):
-    for name, (s, ua) in VARIANTS.items():
+    for name, (s, ua, gen) in VARIANTS.items():
         t0 = time.monotonic()
-        frame(s, ua)
+        frame(s, ua, gen)
         res[name].append((time.monotonic() - t0) * 1e3)
 print(f"n_tiles={n} variants={list(VARIANTS)}")
 for name, ts in res.items():
@@ -86,7 +119,9 @@ for name, ts in res.items():
         f"{name:12s}: min {arr.min():7.1f}  median {np.median(arr):7.1f} "
         f" all {[f'{t:.0f}' for t in ts]}"
     )
-ka, kb = list(VARIANTS)
-d = np.array(res[kb]) - np.array(res[ka])
-print(f"paired {kb}-{ka} per round (ms): {[f'{x:+.0f}' for x in d]}  "
-      f"median {np.median(d):+.1f}")
+names = list(VARIANTS)
+base = names[0]
+for kb in names[1:]:
+    d = np.array(res[kb]) - np.array(res[base])
+    print(f"paired {kb}-{base} per round (ms): {[f'{x:+.0f}' for x in d]}  "
+          f"median {np.median(d):+.1f}")

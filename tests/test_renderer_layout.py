@@ -148,6 +148,33 @@ def test_fetch_taper_overlaps_odd_tile_counts():
     np.testing.assert_array_equal(one.as_u8(), g.as_u8())
 
 
+def test_device_ray_gen_is_bit_identical():
+    """cfg.device_ray_gen rebuilds the primary rays IN-PROGRAM from the
+    compact pixel permutation (trace_rays_tiled_u32_gen) — the same f32 ops
+    in the same order as build_frame_rays, so the u32 frame must be
+    BIT-identical to the host-built-rays path. Covers AA (offset table) and
+    a ragged last tile (padding slots = -1 -> harmless +z rays)."""
+    for kw in (
+        dict(width=64, height=48, tile_rays=384),
+        dict(width=56, height=44, tile_rays=384),  # ragged: 7.18 tiles
+        dict(
+            width=40, height=32, tile_rays=512,
+            anti_aliasing_rotation_scale=True, anti_aliasing_randomness=True,
+        ),
+    ):
+        cfg = _cfg(device_encode=True, fetch_groups=8, **kw)
+        scene = mixed_scene(cfg)
+        ds = build_device_scene(scene, cfg)
+        host = RaytracerRenderer(
+            dataclasses.replace(cfg, device_ray_gen=False)
+        ).render_device(ds)
+        gen = RaytracerRenderer(
+            dataclasses.replace(cfg, device_ray_gen=True)
+        ).render_device(ds)
+        np.testing.assert_array_equal(host.valid, gen.valid)
+        np.testing.assert_array_equal(host.as_u8(), gen.as_u8())
+
+
 def test_fetch_schedule_shapes():
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import fetch_schedule
 
