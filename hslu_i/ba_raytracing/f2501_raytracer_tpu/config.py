@@ -172,6 +172,11 @@ class RenderConfig:
     # 1024) at the cost of coarser per-tile AABB culling granularity and more
     # VMEM per pair intermediate (RT x triangle_block f32).
     kernel_ray_tile: int = 256
+    # kernel ray tile for the POOL phase's serviced secondary wavefronts
+    # (0 = same as kernel_ray_tile): secondaries are less coherent (lane
+    # utility 54% vs 67% inside executed gate triples, PERF.md), so a finer
+    # tile can gate better there while primaries keep the wide optimum
+    pool_ray_tile: int = 0
     # Morton blocks per superblock AABB (two-level shadow/cast culling);
     # 0 = the build default (8)
     superblock: int = 0

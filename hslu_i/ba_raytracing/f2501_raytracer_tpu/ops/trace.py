@@ -51,19 +51,21 @@ F32_EPS_SQ = float(F32_EPSILON) ** 2
 OOB_PIX = 2**30
 
 
-def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, from_refl, active):
+def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, from_refl, active, rt=0):
     """Evaluate one shading-tree node for the whole wavefront.
 
     Returns (contribution (R,3), primary_hit_valid (R,), refl_push, refr_push)
     where each push is a dict of per-ray child-entry fields + a `mask`.
-    """
+    `rt` overrides cfg.kernel_ray_tile (cfg.pool_ray_tile plumbing — the
+    pool's incoherent secondary wavefronts may want a different tile)."""
+    rt = int(rt) or int(cfg.kernel_ray_tile)
     # park inactive lanes on a far-away miss ray: keeps the math finite and
     # lets the Pallas block-AABB cull skip tiles of dead rays for free
     o = jnp.where(active[:, None], o, jnp.float32(1e9))
     d = jnp.where(active[:, None], d, jnp.float32([0.0, 0.0, 1.0])[None, :])
     hit = cast_rays(
         scene, o, d, cfg.backface_culling, bool(cfg.use_pallas), cfg.interpret,
-        cfg.kernel_ray_tile,
+        rt,
     )
     hval = hit.valid & active
     # park missed lanes far away too: their (masked-out) shadow rays then
@@ -84,7 +86,8 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
         and (cfg.reflections or cfg.refractions)
     ):
         return _eval_node_fused(
-            scene, cfg, eps_dist, hit, d, ior, weight, budget, from_refl, hval
+            scene, cfg, eps_dist, hit, d, ior, weight, budget, from_refl, hval,
+            rt,
         )
 
     direct, spec = calculate_lighting(scene, cfg, hit, d, eps_dist)
@@ -216,12 +219,13 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
     return contrib, hval, refl_push, refr_push
 
 
-def _eval_node_fused(scene, cfg, eps_dist, hit, d, ior, weight, budget, from_refl, hval):
+def _eval_node_fused(scene, cfg, eps_dist, hit, d, ior, weight, budget, from_refl, hval, rt=0):
     """_eval_node's lighting + children math via the fused Pallas kernel
     (pallas_shade_eval); semantics mirror the XLA path line for line."""
     from .intersect import _pad_rays
     from .pallas_kernels import pallas_shade_eval
 
+    rt = int(rt) or int(cfg.kernel_ray_tile)
     R = d.shape[0]
     args, _ = _pad_rays(
         (
@@ -242,7 +246,7 @@ def _eval_node_fused(scene, cfg, eps_dist, hit, d, ior, weight, budget, from_ref
             hit.opacity,
             hit.boost,
         ),
-        cfg.kernel_ray_tile,
+        rt,
     )
     contrib, refl, refr = pallas_shade_eval(
         scene.light_pack,
@@ -255,7 +259,7 @@ def _eval_node_fused(scene, cfg, eps_dist, hit, d, ior, weight, budget, from_ref
         eps_dist=float(eps_dist),
         n_trans_blocks=scene.n_trans_blocks,
         backface_culling=cfg.backface_culling,
-        ray_tile=cfg.kernel_ray_tile,
+        ray_tile=rt,
         interpret=cfg.interpret,
         bigtri_trans_rows=scene.bigtri_trans_rows,
         reflections=cfg.reflections,
@@ -687,7 +691,7 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
         e = _unpack_entry(rows)
         contrib_w, _, refl_p, refr_p = _eval_node(
             scene, cfg, eps_dist, e["o"], e["d"], e["ior"], e["w"], e["budget"],
-            e["from_refl"], sel_active,
+            e["from_refl"], sel_active, rt=int(cfg.pool_ray_tile),
         )
         s = dict(s)
         s["stage_pix"] = jax.lax.dynamic_update_slice_in_dim(
