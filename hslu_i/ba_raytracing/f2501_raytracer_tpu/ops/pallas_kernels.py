@@ -1101,6 +1101,18 @@ MAX_UNROLL_LIGHTS = 8
 # fold off for an A/B.
 OPQ_GATE = os.environ.get("RT_OPQ_GATE", "1") != "0"
 
+# per-lane evolving-opacity block gating: keep the per-(light, ray) crossing
+# masks resident in VMEM instead of reducing them to per-(block, light)
+# scalars up front, and gate each block on `any(cross & opq < 1)` with the
+# CURRENT opq carry. A lane whose opq has reached 1 mid-scan contributes
+# nothing downstream (can_reach=False discards dec/fr/fg/fb — see
+# `_light_sums`), so blocks whose crossing lanes are all occluded are
+# skipped; kernel OUTPUTS are bit-identical (skipped pair math could only
+# have changed discarded lanes). This generalizes both the rank-0
+# all-lane done flag and the OPQ_GATE pre-pass fold (the opq carry is
+# seeded from the sphere/big-primitive pre-pass). Module flag for A/B.
+LANE_GATE = os.environ.get("RT_LANE_GATE", "1") != "0"
+
 
 def _bigtri_occl_split(trb, sox, soy, soz, dx, dy, dz, maxd,
                        backface_culling, trans_rows):
@@ -1236,6 +1248,94 @@ def _pair_flip_update(blk, carry, lj, P, trans_block, backface_culling):
     )
 
 
+def _tri_occl_lights_lanegate(
+    pack_ref, baabb_ref, ptx, pty, ptz, lights, carries,
+    *, nb, nb_trans, backface_culling,
+):
+    """`_tri_occl_lights` with per-lane evolving-opacity gating (LANE_GATE):
+    one (nb, RT) crossing-mask scratch per light (written by the same slab
+    pass that previously any-reduced into the SMEM gate table); the rolled
+    block loop gates each (block, light) pair on
+    `any(cross_row & (opq < 1))` against the CURRENT opq carry, so a
+    (light, ray) pair that became fully occluded earlier in the scan drops
+    out of every later block's gate — per-lane early-out instead of the
+    rank-0 all-lane done flag. Outputs bit-identical (see LANE_GATE
+    comment); semantics raytracer.rs:24-106."""
+    C = len(lights)
+    RT = ptx.shape[0]
+
+    def body(b, cs, trans_block):
+        need_n = backface_culling or trans_block
+
+        def gate(cross_refs):
+            alive = [
+                jnp.any((cross_refs[j][b] != 0.0) & (cs[j][1] < 1.0))
+                for j in range(C)
+            ]
+            anyb = alive[0]
+            for a in alive[1:]:
+                anyb = anyb | a
+
+            def do(cs):
+                blk = pack_ref[b]
+                P = _pt_transforms_flip(blk, ptx, pty, ptz, need_n)
+                return tuple(
+                    jax.lax.cond(
+                        alive[j],
+                        lambda c, j=j: _pair_flip_update(
+                            blk, c, lights[j], P,
+                            trans_block, backface_culling,
+                        ),
+                        lambda c: c,
+                        cs[j],
+                    )
+                    for j in range(C)
+                )
+
+            return jax.lax.cond(anyb, do, lambda cs: cs, cs)
+
+        return gate
+
+    def with_cross(*cross_refs):
+        # one vectorized slab pass per light over ALL block AABBs (same
+        # math as the SMEM-gate path), kept at full (nb, RT) rank
+        for j in range(C):
+            lj = lights[j]
+            so = (lj["sox"][None, :], lj["soy"][None, :], lj["soz"][None, :])
+            inv = (lj["invx"][None, :], lj["invy"][None, :], lj["invz"][None, :])
+            tn, tf = None, None
+            for c in range(3):
+                t1 = (baabb_ref[:, c : c + 1] - so[c]) * inv[c]
+                t2 = (baabb_ref[:, c + 3 : c + 4] - so[c]) * inv[c]
+                lo = jnp.minimum(t1, t2)
+                hi = jnp.maximum(t1, t2)
+                lo = jnp.where(jnp.isnan(lo), -INF, lo)
+                hi = jnp.where(jnp.isnan(hi), INF, hi)
+                tn = lo if tn is None else jnp.maximum(tn, lo)
+                tf = hi if tf is None else jnp.minimum(tf, hi)
+            cross = (
+                (tf >= jnp.maximum(tn, 0.0))
+                & (tn <= lj["maxd"][None, :])
+                & (lj["maxd"][None, :] > 0.0)
+            )
+            cross_refs[j][:] = jnp.where(cross, 1.0, 0.0)
+
+        cs = carries
+        if nb_trans:
+            cs = jax.lax.fori_loop(
+                0, nb_trans, lambda b, cc: body(b, cc, True)(cross_refs), cs
+            )
+        if nb_trans < nb:
+            cs = jax.lax.fori_loop(
+                nb_trans, nb, lambda b, cc: body(b, cc, False)(cross_refs), cs
+            )
+        return cs
+
+    return pl.run_scoped(
+        with_cross, *[pltpu.VMEM((nb, RT), jnp.float32) for _ in range(C)]
+    )
+
+
 def _tri_occl_lights(
     pack_ref, baabb_ref, ptx, pty, ptz, lights, carries,
     *, nb, nb_trans, backface_culling, use_aabb,
@@ -1258,6 +1358,11 @@ def _tri_occl_lights(
     pass per light + nb static any-reduces fills an SMEM gate table the
     rolled loop reads as scalars; the opaque early-out becomes a rank-0
     `done` flag per light updated only inside executed pair bodies."""
+    if use_aabb and LANE_GATE:
+        return _tri_occl_lights_lanegate(
+            pack_ref, baabb_ref, ptx, pty, ptz, lights, carries,
+            nb=nb, nb_trans=nb_trans, backface_culling=backface_culling,
+        )
     C = len(lights)
 
     def body(b, carries, trans_block):

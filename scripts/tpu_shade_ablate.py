@@ -148,6 +148,9 @@ VARIANTS = {
     # per-ray opaque-occlusion gate fold disabled (round-3b A/B; the fold
     # is exact, so `full` vs `opq_off` outputs must be bit-identical)
     "opq_off": {"OPQ_GATE": False},
+    # per-lane evolving-opacity block gating disabled (round-3c A/B;
+    # exact, so `full` vs `lane_off` outputs must be bit-identical)
+    "lane_off": {"LANE_GATE": False},
 }
 
 only = [v for v in os.environ.get("VARIANTS", "").split(",") if v]
@@ -323,6 +326,7 @@ for name, patches in VARIANTS.items():
         PK._sphere_occl_comp = orig_sph
         PK._bigtri_occl_split = orig_big
         PK.OPQ_GATE = True
+        PK.LANE_GATE = True
 
 full = results.get(f"full@{RTS[0]}")
 if full:
