@@ -177,6 +177,13 @@ class RenderConfig:
     # utility 54% vs 67% inside executed gate triples, PERF.md), so a finer
     # tile can gate better there while primaries keep the wide optimum
     pool_ray_tile: int = 0
+    # pool staging-compaction machinery ("scatter" | "gather" | "unique"):
+    # how candidate child rows compact into the dense ray pool. The modes
+    # are output-identical; they differ only in which XLA op pays the
+    # per-row cost (row scatter vs searchsorted+row gather vs a
+    # unique-declared scatter into a 2x buffer). See ops/trace.py
+    # _pool_append and the A/B in scripts/tpu_stage_ab.py.
+    stage_mode: str = "scatter"
     # Morton blocks per superblock AABB (two-level shadow/cast culling);
     # 0 = the build default (8)
     superblock: int = 0

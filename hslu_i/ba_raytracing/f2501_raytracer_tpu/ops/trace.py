@@ -592,22 +592,46 @@ def _unpack_entry(rows):
     )
 
 
-def _pool_append(pool, count, cands, masks, Q):
+def _pool_append(pool, count, cands, masks, Q, mode="scatter"):
     """Compact packed candidate rows into the pool at `count` with ONE
-    staging scatter. All work is O(total candidate width)."""
+    staging scatter. All work is O(total candidate width).
+
+    `mode` selects the compaction machinery (outputs below `count` are
+    identical; slots past count+n_push are dead either way):
+      scatter — one row scatter; rejected rows collide on a drop slot
+      gather  — inverse map via searchsorted(cumsum) + row gather (no
+                scatter; rows past n_push hold an arbitrary trailing
+                candidate instead of zeros — never read)
+      unique  — like scatter but rejects go to distinct slots in a 2x
+                staging buffer so the scatter can declare unique_indices
+    """
     cand = jnp.concatenate(cands, axis=0)
     m = jnp.concatenate(masks, axis=0)
     n_cand = m.shape[0]
     # dense positions among accepted candidates; rejected go to a drop slot
-    pos_in = jnp.cumsum(m.astype(jnp.int32)) - 1
+    cum = jnp.cumsum(m.astype(jnp.int32))
+    pos_in = cum - 1
     n_push = pos_in[-1] + 1
-    staging_pos = jnp.where(m, pos_in, n_cand)  # n_cand = drop slot
-
-    staged = (
-        jnp.zeros((n_cand + 1, POOL_COLS), jnp.float32)
-        .at[staging_pos]
-        .set(cand)[:n_cand]
-    )
+    if mode == "gather":
+        src = jnp.searchsorted(
+            cum, jnp.arange(1, n_cand + 1, dtype=jnp.int32)
+        )
+        staged = jnp.take(cand, jnp.minimum(src, n_cand - 1), axis=0)
+    elif mode == "unique":
+        rej = jnp.arange(n_cand, dtype=jnp.int32) - cum  # reject rank
+        staging_pos = jnp.where(m, pos_in, n_cand + rej)
+        staged = (
+            jnp.zeros((2 * n_cand, POOL_COLS), jnp.float32)
+            .at[staging_pos]
+            .set(cand, unique_indices=True)[:n_cand]
+        )
+    else:
+        staging_pos = jnp.where(m, pos_in, n_cand)  # n_cand = drop slot
+        staged = (
+            jnp.zeros((n_cand + 1, POOL_COLS), jnp.float32)
+            .at[staging_pos]
+            .set(cand)[:n_cand]
+        )
     start = count  # count is pre-clamped so start + n_cand <= Q
     pool = jax.lax.dynamic_update_slice_in_dim(pool, staged, start, 0)
     return pool, count + n_push
@@ -646,7 +670,9 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
         cands.append(_pack_entry(p, pix))
         masks.append(p["mask"])
     if cands:
-        pool, count = _pool_append(pool, count, cands, masks, Q)
+        pool, count = _pool_append(
+            pool, count, cands, masks, Q, mode=cfg.stage_mode
+        )
 
     max_iters = cfg.max_nodes * ratio
     chunk = max(int(cfg.loop_chunk), 1)
@@ -718,7 +744,9 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
             cands.append(_pack_entry(p, e["pix"]))
             masks.append(p["mask"] & sel_active)
         if cands:
-            pool2, count = _pool_append(s["pool"], count, cands, masks, Q)
+            pool2, count = _pool_append(
+                s["pool"], count, cands, masks, Q, mode=cfg.stage_mode
+            )
             s["pool"] = pool2
         s["count"] = count
         s["it"] = s["it"] + 1

@@ -20,6 +20,7 @@ recovered from w_d and the precomputed |ñ|².
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Tuple
 
 import jax
@@ -496,7 +497,23 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     # and local slot indices matching the planar arrays / mat_pack rows
     cast_pack = blk_pack.copy()
     blk_has_trans = httr_blk.any(axis=1)
-    blk_order = np.argsort(~blk_has_trans, kind="stable")
+    if os.environ.get("RT_SHADOW_ORDER", "camera") == "light" and lp.shape[0]:
+        # shadow-priority order (experimental, env-gated): within each
+        # trans/opaque section, scan blocks NEAREST the lights first — every
+        # shadow segment converges at a light, so near-light geometry is
+        # crossed (and opaquely hit) by the most (ray, light) pairs; hitting
+        # it early saturates per-lane opacity sooner, letting the LANE_GATE
+        # evolving gate skip later blocks. Order-free semantics (same
+        # argument as the trans-first permutation above).
+        lo, hi = aabb[:, 0:3], aabb[:, 3:6]
+        ldist = np.full(nb, np.inf, np.float32)
+        nonempty = (lo <= hi).all(axis=1)
+        for lpt in np.asarray(lp, np.float32):
+            dl = np.linalg.norm(np.clip(lpt, lo, hi) - lpt, axis=1)
+            ldist = np.minimum(ldist, np.where(nonempty, dl, np.inf))
+        blk_order = np.lexsort((ldist, ~blk_has_trans))
+    else:
+        blk_order = np.argsort(~blk_has_trans, kind="stable")
     blk_pack = blk_pack[blk_order]
     blk_aabb = aabb[blk_order]
     n_trans_blocks = int(blk_has_trans.sum())
