@@ -184,6 +184,12 @@ class RenderConfig:
     # unique-declared scatter into a 2x buffer). See ops/trace.py
     # _pool_append and the A/B in scripts/tpu_stage_ab.py.
     stage_mode: str = "scatter"
+    # split the per-chunk contribution commit into this many cond-gated
+    # segment scatter-adds: the staging buffer is sized for the full
+    # loop_chunk but typical tiles execute only a prefix of it, and
+    # scatter-add cost is ~per-row — gated segments skip the unexecuted
+    # suffix exactly (ops/trace.py). 1 = single commit (legacy).
+    commit_splits: int = 1
     # Morton blocks per superblock AABB (two-level shadow/cast culling);
     # 0 = the build default (8)
     superblock: int = 0

@@ -49,3 +49,11 @@ def test_stage_modes_bit_identical():
         c, v = trace_rays(ds, dataclasses.replace(cfg, stage_mode=mode), o, d)
         np.testing.assert_array_equal(np.asarray(v), np.asarray(v_base))
         np.testing.assert_array_equal(np.asarray(c), np.asarray(base))
+    # the cond-gated segmented contribution commit is exact: skipped
+    # segments hold only rows the n_exec mask discards anyway
+    for splits in (4, 8, 5):
+        c, v = trace_rays(
+            ds, dataclasses.replace(cfg, commit_splits=splits), o, d
+        )
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_base))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(base))
