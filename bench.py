@@ -151,8 +151,14 @@ def main():
         # 131072-ray tiles + 8 overlapped fetch groups measured fastest at
         # 1080p (same-session sweep, scripts/tpu_overlap_bench.py round 3:
         # 718 ms vs 810 at 262144/G=8 and 755 at 65536/G=8 — 16 tiles give
-        # the fetch pipeline 2-tile groups to hide behind compute)
-        tile_rays=int(os.environ.get("BENCH_TILE", 131072)),
+        # the fetch pipeline 2-tile groups to hide behind compute).
+        # extreme prefers the bigger 262144 tile (480x270: 43.9 s vs 49.8 s
+        # at 131072, same session; full-res 1620x1350: ~690 s warm vs 704 s)
+        tile_rays=int(
+            os.environ.get(
+                "BENCH_TILE", 262144 if config_name == "extreme" else 131072
+            )
+        ),
         max_nodes=int(os.environ.get("BENCH_MAX_NODES", 48)),
         weight_cutoff=float(os.environ.get("BENCH_WEIGHT_CUTOFF", 1e-3)),
         # compiled Pallas needs a real TPU; the BENCH_CPU protocol self-test
@@ -168,9 +174,17 @@ def main():
         loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 128)),
         # optimal block size is resolution-dependent (same-session sweeps,
         # PERF.md): fine 64-triangle AABBs win at 1080p (deep secondary
-        # wavefronts), coarse 512 wins on small frames
+        # wavefronts), coarse 512 wins on small frames. extreme is its own
+        # regime: the hq-mesh light kernel is 1.58x faster at B=256 than 64
+        # (PERF.md "Extreme-config light-kernel decomposition": 586 vs 929
+        # ms on a dense mid-frame tile) — the resolution rule must not put
+        # full-res extreme on B=64
         triangle_block=int(
-            os.environ.get("BENCH_TRI_BLOCK", 64 if width * height >= 10**6 else 512)
+            os.environ.get(
+                "BENCH_TRI_BLOCK",
+                256 if config_name == "extreme"
+                else (64 if width * height >= 10**6 else 512),
+            )
         ),
         # cap tiles per launched program (heavy configs can outlive the
         # relay worker watchdog ~4 min in a single program; see PERF.md).
@@ -186,6 +200,10 @@ def main():
         # device-side u32 pixel encode + exact AA dedupe (renderer defaults)
         device_encode=os.environ.get("BENCH_U32", "1") == "1",
         dedupe_aa=os.environ.get("BENCH_DEDUPE", "1") == "1",
+        # pool staging/commit machinery knobs (defaults measured:
+        # PERF.md "Pool staging machinery" and scripts/tpu_commit_ab.py)
+        stage_mode=os.environ.get("BENCH_STAGE", "scatter"),
+        commit_splits=int(os.environ.get("BENCH_COMMIT_SPLITS", 1)),
         **CONFIGS[config_name],
     )
 
