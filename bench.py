@@ -172,20 +172,12 @@ def main():
         # 61.3 vs 68.3 ms/131k-tile, bit-identical image)
         kernel_ray_tile=int(os.environ.get("BENCH_RAY_TILE", 512)),
         loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 128)),
-        # optimal block size is resolution-dependent (same-session sweeps,
-        # PERF.md): fine 64-triangle AABBs win at 1080p (deep secondary
-        # wavefronts), coarse 512 wins on small frames. extreme is its own
-        # regime: the hq-mesh light kernel is 1.58x faster at B=256 than 64
-        # (PERF.md "Extreme-config light-kernel decomposition": 586 vs 929
-        # ms on a dense mid-frame tile) — the resolution rule must not put
-        # full-res extreme on B=64
-        triangle_block=int(
-            os.environ.get(
-                "BENCH_TRI_BLOCK",
-                256 if config_name == "extreme"
-                else (64 if width * height >= 10**6 else 512),
-            )
-        ),
+        # 0 = auto: the library resolves the measured-optimum block size per
+        # regime (scene/device.py::_resolve_block — hq-mesh 256, plain 64 at
+        # >=1e6-pixel frames, else 512; sweeps in PERF.md). The old
+        # resolution-only rule put full-res extreme on B=64, 1.58x slower
+        # on the hq-mesh light kernel than 256
+        triangle_block=int(os.environ.get("BENCH_TRI_BLOCK", 0)),
         # cap tiles per launched program (heavy configs can outlive the
         # relay worker watchdog ~4 min in a single program; see PERF.md).
         # extreme defaults to 4-tile chunks — at full res one unchunked

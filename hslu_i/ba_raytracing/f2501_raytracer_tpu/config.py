@@ -165,7 +165,12 @@ class RenderConfig:
     # Morton-resort each serviced pool batch for kernel-tile ray coherence
     # (measured neutral-to-slightly-negative on semesterbild; off by default)
     resort_secondary: bool = False
-    triangle_block: int = 512  # triangles per matmul block
+    # triangles per Morton block (the culling/pair-math granularity).
+    # 0 = auto by measured regime (PERF.md sweeps): hq-mesh scenes run the
+    # light kernel 1.5-1.6x faster at 256 than at 64/512; plain scenes want
+    # fine 64 blocks at >=1e6-pixel frames (deep secondary wavefronts) and
+    # coarse 512 on small frames. resolve: scene/device.py::_resolve_block
+    triangle_block: int = 0
     # rays per Pallas kernel instance (the kernel grid is R // kernel_ray_tile
     # sequential instances). Larger tiles amortize VPU instruction-issue
     # overhead on the flat (RT,)-wide shading ops (~4x fewer instances at

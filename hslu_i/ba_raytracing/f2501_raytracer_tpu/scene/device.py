@@ -196,6 +196,17 @@ SUPERBLOCK = 8  # default Morton blocks per superblock AABB (two-level culling)
 BIGTRI_CAP = 128
 
 
+def _resolve_block(cfg: RenderConfig) -> int:
+    """triangle_block=0 -> auto by measured regime (see config.py comment
+    and PERF.md "Extreme-config light-kernel decomposition"/block sweeps):
+    hq-mesh scenes 256; plain scenes 64 at >=1e6-pixel frames, else 512."""
+    if cfg.triangle_block:
+        return cfg.triangle_block
+    if cfg.high_quality_model:
+        return 256
+    return 64 if cfg.width * cfg.height >= 10**6 else 512
+
+
 def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1) -> DeviceScene:
     """`min_tri_blocks` pads the triangle-block count up to a multiple (used
     to shard blocks across a device mesh, parallel/mesh.py)."""
@@ -204,7 +215,7 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     S, T = len(spheres), len(triangles)
 
     S_pad = max(_round_up(S, 8), 8)
-    B = min(cfg.triangle_block, max(_round_up(T, 128), 128))
+    B = min(_resolve_block(cfg), max(_round_up(T, 128), 128))
 
     # ---- triangle slot layout --------------------------------------------
     # Large primitives (walls/floors) leave the Morton blocks entirely:
