@@ -56,7 +56,7 @@ for name, feats in CONFIGS.items():
         width=W0, height=H0, scene_backface_culling=True,
         tile_rays=262144, max_nodes=48, weight_cutoff=1e-3,
         compaction_ratio=64, loop_chunk=128, use_pallas=True,
-        triangle_block=64 if W0 * H0 >= 10**6 else 512,
+        triangle_block=0,  # auto (scene/device.py::_resolve_block)
         device_encode=True, dedupe_aa=True,
         kernel_ray_tile=int(os.environ.get("CFGBENCH_RAY_TILE", 256)),
         **feats,
