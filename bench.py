@@ -279,6 +279,15 @@ def main():
     overlap = int(os.environ.get("BENCH_OVERLAP", 8))
     taper = os.environ.get("BENCH_TAPER", "1") == "1"
 
+    # pool-saturation drop audit: every u32 path surfaces the per-tile drop
+    # counter (free — it rides the loop state); nonzero means reflection/
+    # refraction energy was lost vs the reference recursion, so warn loudly
+    # (and tests/test_drop_audit.py gates it at bench-shaped tiles)
+    drops = {"n": 0}
+
+    def note_drops(dr):
+        drops["n"] += int(np.asarray(dr).sum())
+
     def frame():
         # whole frame as ONE program: per-launch overhead is high on
         # remote-attached TPUs. BENCH_TPP caps tiles per program for
@@ -286,9 +295,10 @@ def main():
         group = cfg.tiles_per_program
         if cfg.devices > 1:
             if use_u32:
-                outs = trace_tiles_sharded_u32(
+                outs, dr = trace_tiles_sharded_u32(
                     dscene, cfg, o_tiles, d_tiles, w_dev, mesh
                 )
+                note_drops(dr)
             else:
                 outs = trace_tiles_sharded(dscene, cfg, o_tiles, d_tiles, mesh)
         elif group and group < n_tiles:
@@ -307,16 +317,17 @@ def main():
                 t_g = time.monotonic()
                 if use_u32:
                     if raygen:
-                        out = trace_rays_tiled_u32_gen(
+                        out, dr = trace_rays_tiled_u32_gen(
                             dscene, cfg,
                             og_pad[gs * pixt : (gs + group) * pixt],
                             offs_dev, w_dev, n_tiles=group,
                         )
                     else:
-                        out = trace_rays_tiled_u32(
+                        out, dr = trace_rays_tiled_u32(
                             dscene, cfg, o_g[gs : gs + group],
                             d_g[gs : gs + group], w_dev,
                         )
+                    note_drops(dr)
                     # sync per group: an unbroken multi-minute device queue
                     # can trip the relay worker watchdog just like one long
                     # program; only a value fetch proves the group finished
@@ -372,16 +383,23 @@ def main():
             # group finishes instead of paying one blocking relay round trip
             # per group (interleaved A/B: median -35 ms, all rounds negative,
             # scripts/tpu_taper_ab.py AB_MODE=async)
-            for p in parts:
+            for p, dr in parts:
                 p.copy_to_host_async()
-            return np.concatenate([np.asarray(p) for p in parts])
+                dr.copy_to_host_async()
+            fbp = np.concatenate([np.asarray(p) for p, _ in parts])
+            for _, dr in parts:
+                note_drops(dr)
+            return fbp
         elif use_u32:
             if raygen:
-                outs = trace_rays_tiled_u32_gen(
+                outs, dr = trace_rays_tiled_u32_gen(
                     dscene, cfg, order_dev, offs_dev, w_dev, n_tiles=n_tiles
                 )
             else:
-                outs = trace_rays_tiled_u32(dscene, cfg, o_tiles, d_tiles, w_dev)
+                outs, dr = trace_rays_tiled_u32(
+                    dscene, cfg, o_tiles, d_tiles, w_dev
+                )
+            note_drops(dr)
         else:
             outs = trace_rays_tiled(dscene, cfg, o_tiles, d_tiles)
         # fetch the full frame to the host — the frame isn't "rendered"
@@ -402,6 +420,12 @@ def main():
         times_ms.append((time.monotonic() - t0) * 1e3)
 
     ms = min(times_ms)
+    if drops["n"]:
+        sys.stderr.write(
+            f"WARNING: ray pool/stack saturated — {drops['n']} pending "
+            "secondary rays dropped across warmup+repeats (reflection/"
+            "refraction energy lost; the reference recursion never drops)\n"
+        )
     sys.stderr.write(
         "bench repeats (ms): " + ", ".join(f"{t:.1f}" for t in times_ms) + "\n"
     )

@@ -194,10 +194,30 @@ class RenderConfig:
     # loop_chunk but typical tiles execute only a prefix of it, and
     # scatter-add cost is ~per-row — gated segments skip the unexecuted
     # suffix exactly (ops/trace.py). 1 = single commit (legacy).
+    # NOTE: the split count must divide loop_chunk; a value that doesn't is
+    # coerced DOWN to the largest divisor (e.g. 5 -> 4, 7 -> 1 at
+    # chunk=128) — see ops/trace.py::_run_pool.
     commit_splits: int = 1
+    # shadow-pack Morton-block scan order ("camera" | "light"): "light"
+    # scans blocks nearest the lights first within each trans/opaque
+    # section, saturating per-lane opacity sooner for the LANE_GATE
+    # evolving gate (scene/device.py). Semantically order-free — shadow
+    # accumulation is a sum/max over blocks — but the f32 sum ORDER
+    # changes, so outputs are allclose, not bit-identical
+    # (scripts/tpu_shadoworder_ab.py).
+    shadow_order: str = "camera"
     # Morton blocks per superblock AABB (two-level shadow/cast culling);
     # 0 = the build default (8)
     superblock: int = 0
+    # logical ray-pool capacity override (rows). 0 = auto: sized from the
+    # LIFO/DFS depth bound so a healthy trace can never saturate
+    # (ops/trace.py::_run_pool). Nonzero caps the LOGICAL entry count
+    # (clamped into [2W, auto]; the physical buffer keeps the auto size for
+    # slice legality) and exists for drop-audit tests: an undersized pool
+    # truncates pending secondary rays from the LIFO top, which every
+    # production path counts and reports (the reference recursion never
+    # drops subtrees, raytracer_renderer.rs:216-248).
+    pool_capacity: int = 0
     # triangle count beyond which the scene SoA stops being VMEM-resident
     # and the cast/occlude kernels stream Morton blocks from HBM instead
     # (~100 bytes/triangle resident; ~8 MB at the default threshold)
@@ -263,6 +283,30 @@ class RenderConfig:
             object.__setattr__(self, "anti_aliasing", True)
             object.__setattr__(self, "soft_shadows", True)
             object.__setattr__(self, "high_quality_model", True)
+        # typo guard: an unknown mode would silently fall into a default
+        # branch downstream, hiding misconfigured A/B runs
+        if self.stage_mode not in ("scatter", "gather", "unique"):
+            raise ValueError(
+                f"stage_mode must be one of scatter|gather|unique, "
+                f"got {self.stage_mode!r}"
+            )
+        if self.shadow_order not in ("camera", "light"):
+            raise ValueError(
+                f"shadow_order must be camera|light, got {self.shadow_order!r}"
+            )
+
+    @property
+    def uses_hq_mesh(self) -> bool:
+        """The reference loads the high-quality text mesh when the
+        high_quality_model OR medium_resolution feature is set (ref
+        src/main.rs:30-35) — shared by the OBJ path choice
+        (models/semesterbild.py) and the triangle-block auto-resolver
+        (scene/device.py::_resolve_block) so a default-resolution scene
+        gets the measured-optimal hq-mesh block size."""
+        return (
+            self.high_quality_model
+            or (self.width, self.height) == RESOLUTION_MEDIUM
+        )
 
     # ---- derived quality constants ----
 

@@ -34,11 +34,10 @@ REF_DATA_ROOT = os.environ.get("RAYTRACER_REF_DATA", "/root/reference")
 
 def _text_obj_path(cfg: RenderConfig) -> str:
     # the reference picks the hq mesh when high_quality_model OR the
-    # medium_resolution feature (1140x950) is set (ref src/main.rs:30-35)
-    from ..config import RESOLUTION_MEDIUM
-
-    hq = cfg.high_quality_model or (cfg.width, cfg.height) == RESOLUTION_MEDIUM
-    name = "text.obj" if hq else "text_lowres.obj"
+    # medium_resolution feature (1140x950) is set (ref src/main.rs:30-35);
+    # the predicate is shared with the triangle-block auto-resolver
+    # (config.py::uses_hq_mesh)
+    name = "text.obj" if cfg.uses_hq_mesh else "text_lowres.obj"
     return os.path.join(REF_DATA_ROOT, "data", "obj", "text", name)
 
 

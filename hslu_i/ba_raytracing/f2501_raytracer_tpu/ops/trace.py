@@ -378,11 +378,19 @@ def trace_rays_tiled_u32(scene: DeviceScene, cfg: RenderConfig, o_tiles, d_tiles
 
     On remote-attached TPUs this also cuts the host fetch from 12·U to 4
     bytes per pixel — the f32 fetch was a measured share of frame latency
-    (PERF.md round 3)."""
+    (PERF.md round 3).
+
+    Returns (u32 (n_tiles, P), dropped (n_tiles,) int32): the per-tile
+    count of pending secondary rays truncated by pool/stack capacity. The
+    counter is carried in the loop state anyway, so surfacing it is free —
+    and the reference recursion never drops subtrees
+    (raytracer_renderer.rs:216-248), so callers must warn on nonzero."""
     def per_tile(od):
         o, d = od
-        color, valid = trace_rays.__wrapped__(scene, cfg, o, d)
-        return encode_pixels_u32(color, valid, aa_weights)
+        color, valid, stats = trace_rays.__wrapped__(
+            scene, cfg, o, d, with_stats=True
+        )
+        return encode_pixels_u32(color, valid, aa_weights), stats["dropped"]
 
     return jax.lax.map(per_tile, (o_tiles, d_tiles))
 
@@ -401,7 +409,10 @@ def trace_rays_tiled_u32_gen(scene: DeviceScene, cfg: RenderConfig,
 
     order_group: (n_tiles * P,) int32 row-major pixel indices in tile-major
     order, -1 marks padding slots beyond the frame (traced as harmless +z
-    rays exactly like build_frame_rays' padding)."""
+    rays exactly like build_frame_rays' padding).
+
+    Returns (u32 (n_tiles, P), dropped (n_tiles,) int32) like
+    trace_rays_tiled_u32."""
     P = order_group.shape[0] // n_tiles
     U = offsets.shape[0]
     cam = cfg.camera
@@ -419,8 +430,10 @@ def trace_rays_tiled_u32_gen(scene: DeviceScene, cfg: RenderConfig,
         d = jnp.broadcast_to(dirs[:, None, :], (P, U, 3))
         o = jnp.where(pad[:, None, None], 0.0, o).reshape(P * U, 3)
         d = jnp.where(pad[:, None, None], zdir[None, None, :], d).reshape(P * U, 3)
-        color, valid = trace_rays.__wrapped__(scene, cfg, o, d)
-        return encode_pixels_u32(color, valid, aa_weights)
+        color, valid, stats = trace_rays.__wrapped__(
+            scene, cfg, o, d, with_stats=True
+        )
+        return encode_pixels_u32(color, valid, aa_weights), stats["dropped"]
 
     return jax.lax.map(per_tile, order_group.reshape(n_tiles, P))
 
@@ -659,6 +672,15 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
         1,
     )
     Q = 2 * R + 2 * W * (D + 2)
+    # Logical capacity vs physical size: the PHYSICAL pool must stay at the
+    # auto bound (the prologue writes up to 2R candidate rows in one
+    # static-size slice; in-loop appends write 2W rows), but the drop-audit
+    # override (cfg.pool_capacity) caps the LOGICAL count — entries above
+    # the cap are truncated from the LIFO top and counted in `dropped`,
+    # exactly what a genuinely undersized pool would lose.
+    Q_cap = Q
+    if cfg.pool_capacity:
+        Q_cap = min(max(int(cfg.pool_capacity), 2 * W), Q)
 
     pool = jnp.zeros((Q, POOL_COLS), jnp.float32)
     pix = jnp.arange(R, dtype=jnp.int32)
@@ -673,13 +695,15 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
         pool, count = _pool_append(
             pool, count, cands, masks, Q, mode=cfg.stage_mode
         )
+    dropped0 = jnp.maximum(count - Q_cap, 0)
+    count = jnp.minimum(count, Q_cap)
 
     max_iters = cfg.max_nodes * ratio
     chunk = max(int(cfg.loop_chunk), 1)
 
     state = dict(
         pool=pool, count=count, accum=contrib, it=jnp.int32(0),
-        dropped=jnp.int32(0),
+        dropped=dropped0,
         # per-chunk contribution staging: iteration i of a chunk writes its
         # (W,3) contributions contiguously at slot i (a dynamic_update_slice,
         # ~1 µs) and ONE scatter-add per chunk commits them to the pixel
@@ -732,9 +756,10 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
             slot * W,
             0,
         )
-        # cap so a full append of 2W candidates stays in bounds; with Q sized
-        # for the DFS depth bound this should never engage — count any drop
-        capped = jnp.minimum(start, Q - 2 * W)
+        # cap so a full append of 2W candidates stays within the logical
+        # capacity; with Q_cap at the DFS depth bound this should never
+        # engage — count any drop
+        capped = jnp.minimum(start, Q_cap - 2 * W)
         s["dropped"] = s["dropped"] + (start - capped)
         count = capped
         cands, masks = [], []

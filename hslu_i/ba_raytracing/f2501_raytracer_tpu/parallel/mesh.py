@@ -110,7 +110,12 @@ def trace_tiles_sharded_u32(
     4 bytes per LOCAL pixel instead of 12·aa, so the sharded->host transfer
     shrinks identically to the single-chip u32 path (a measured share of
     frame latency through a relay, PERF.md round 3). Outputs stay
-    device-sharded (n_tiles, pixels_per_tile) for host assembly."""
+    device-sharded (n_tiles, pixels_per_tile) for host assembly.
+
+    Returns (u32 (n_tiles, P), dropped (n_tiles,) int32) exactly like
+    trace_rays_tiled_u32 — the pool-saturation drop counter is surfaced in
+    the mesh path too (the reference recursion never drops subtrees,
+    raytracer_renderer.rs:216-248)."""
     from ..ops.trace import encode_pixels_u32
 
     axis = mesh.axis_names[0]
@@ -121,8 +126,10 @@ def trace_tiles_sharded_u32(
     def local(scene_rep, w_rep, o_sh, d_sh):
         def per_tile(od):
             o, d = od
-            color, valid = trace_rays.__wrapped__(scene_rep, cfg, o, d)
-            return encode_pixels_u32(color, valid, w_rep)
+            color, valid, stats = trace_rays.__wrapped__(
+                scene_rep, cfg, o, d, with_stats=True
+            )
+            return encode_pixels_u32(color, valid, w_rep), stats["dropped"]
 
         return jax.lax.map(per_tile, (o_sh, d_sh))
 
@@ -130,7 +137,7 @@ def trace_tiles_sharded_u32(
     rep = NamedSharding(mesh, P())
     mapped = jax.shard_map(
         local, mesh=mesh, in_specs=(P(), P(), P(axis), P(axis)),
-        out_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
         check_vma=False,  # no cross-device communication in this map
     )
     return jax.jit(mapped)(

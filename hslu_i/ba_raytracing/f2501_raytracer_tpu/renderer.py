@@ -82,6 +82,17 @@ def fetch_schedule(n_tiles: int, max_groups: int = 8) -> list:
     return sizes
 
 
+def _warn_drops(n_dropped: int) -> None:
+    """Loud pool/stack saturation warning, shared by every production path
+    (the reference recursion never drops subtrees — any nonzero count means
+    reflection/refraction energy was lost, raytracer_renderer.rs:216-248)."""
+    if n_dropped:
+        print(
+            f"WARNING: ray pool/stack saturated — {n_dropped} pending "
+            "secondary rays dropped (reflection/refraction energy lost)"
+        )
+
+
 def plan_frame(cfg: RenderConfig) -> FramePlan:
     H, W = cfg.height, cfg.width
     total_pixels = H * W
@@ -236,12 +247,6 @@ class RaytracerRenderer:
                 else (n_tiles + group - 1) // group * group
             )
             ws = bool(cfg.render_timing_debug) and not use_mesh
-            if cfg.render_timing_debug and use_mesh:
-                print(
-                    "WARNING: render_timing_debug stats (incl. pool-drop "
-                    "counts) are not collected in multi-chip mode "
-                    "(devices > 1); render single-chip to audit drops"
-                )
             # device-side pixel encode: the AA reduction + u8/u32 pack runs
             # in the frame program and the host fetches 4 bytes/pixel (the
             # reference's framebuffer format) — under a mesh each chip
@@ -279,18 +284,16 @@ class RaytracerRenderer:
                     if use_mesh:
                         from .parallel.mesh import trace_tiles_sharded_u32
 
-                        return np.asarray(
-                            trace_tiles_sharded_u32(
-                                dscene, cfg, jax.numpy.asarray(o_np),
-                                jax.numpy.asarray(d_np), w_dev, mesh,
-                            )
+                        u, dr = trace_tiles_sharded_u32(
+                            dscene, cfg, jax.numpy.asarray(o_np),
+                            jax.numpy.asarray(d_np), w_dev, mesh,
                         )
-                    return np.asarray(
-                        trace_rays_tiled_u32(
+                    else:
+                        u, dr = trace_rays_tiled_u32(
                             dscene, cfg, jax.numpy.asarray(o_np),
                             jax.numpy.asarray(d_np), w_dev,
                         )
-                    )
+                    return np.asarray(u), int(np.asarray(dr).sum())
 
                 if overlap_ok:
                     # overlapped fetch (cfg.fetch_groups): dispatch every
@@ -334,17 +337,21 @@ class RaytracerRenderer:
                     # as groups finish instead of one blocking relay round
                     # trip per group (-35 ms median paired at 1080p,
                     # scripts/tpu_taper_ab.py)
-                    for p in parts:
+                    for p, dr in parts:
                         p.copy_to_host_async()
-                    u32 = np.concatenate([np.asarray(p) for p in parts])[:n_tiles]
+                        dr.copy_to_host_async()
+                    u32 = np.concatenate([np.asarray(p) for p, _ in parts])[:n_tiles]
+                    n_dropped = int(sum(np.asarray(dr).sum() for _, dr in parts))
                 elif group >= n_pad:
-                    u32 = u32_group(o_all, d_all)
+                    u32, n_dropped = u32_group(o_all, d_all)
                 else:
                     us = [
                         u32_group(o_all[gs : gs + group], d_all[gs : gs + group])
                         for gs in range(0, n_pad, group)
                     ]
-                    u32 = np.concatenate(us)[:n_tiles]
+                    u32 = np.concatenate([u for u, _ in us])[:n_tiles]
+                    n_dropped = int(sum(dr for _, dr in us))
+                _warn_drops(n_dropped)
                 fb = np.zeros((total_pixels,), np.uint32)
                 fb[plan.order] = u32.reshape(-1)[:total_pixels]
                 buf = ImageBuffer.from_u32(fb, W, H)
@@ -366,12 +373,7 @@ class RaytracerRenderer:
                 )
                 if ws:
                     color, valid, tstats = out
-                    dropped = int(tstats["dropped"])
-                    if dropped:
-                        print(
-                            f"WARNING: ray pool/stack saturated — {dropped} pending "
-                            "secondary rays dropped (reflection/refraction energy lost)"
-                        )
+                    _warn_drops(int(tstats["dropped"]))
                 else:
                     color, valid = out
                 color, valid = np.asarray(color), np.asarray(valid)

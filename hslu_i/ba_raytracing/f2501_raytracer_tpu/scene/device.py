@@ -199,10 +199,13 @@ BIGTRI_CAP = 128
 def _resolve_block(cfg: RenderConfig) -> int:
     """triangle_block=0 -> auto by measured regime (see config.py comment
     and PERF.md "Extreme-config light-kernel decomposition"/block sweeps):
-    hq-mesh scenes 256; plain scenes 64 at >=1e6-pixel frames, else 512."""
+    hq-mesh scenes 256; plain scenes 64 at >=1e6-pixel frames, else 512.
+    The hq predicate is cfg.uses_hq_mesh — the same rule that picks the
+    OBJ file (models/semesterbild.py), so a default-resolution (1140x950)
+    scene that loads the hq mesh also gets the hq-measured block size."""
     if cfg.triangle_block:
         return cfg.triangle_block
-    if cfg.high_quality_model:
+    if cfg.uses_hq_mesh:
         return 256
     return 64 if cfg.width * cfg.height >= 10**6 else 512
 
@@ -486,9 +489,10 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     # per-block code thrashed instruction memory — PERF.md round 3).
     # Blocks with any transmissive triangle are ordered FIRST so only the
     # leading n_trans_blocks blocks run the shadow-Fresnel body. Shadow
-    # accumulation is order-free, so this pack may reorder blocks freely as
-    # long as it carries its own AABB table; the cast path's planar arrays
-    # and object indexing are untouched.
+    # accumulation is semantically order-free (a sum/max over blocks), so
+    # this pack may reorder blocks freely as long as it carries its own
+    # AABB table — though the f32 sum ORDER changes with it; the cast
+    # path's planar arrays and object indexing are untouched.
     httr_blk = mat_has_trans[tri_slice].reshape(nb, B)
     blk_pack = np.zeros((nb, B, 32), np.float32)
     blk_pack[:, :, 0:12] = woop4.reshape(nb, B, 12)
@@ -508,14 +512,16 @@ def build_device_scene(scene: Scene, cfg: RenderConfig, min_tri_blocks: int = 1)
     # and local slot indices matching the planar arrays / mat_pack rows
     cast_pack = blk_pack.copy()
     blk_has_trans = httr_blk.any(axis=1)
-    if os.environ.get("RT_SHADOW_ORDER", "camera") == "light" and lp.shape[0]:
-        # shadow-priority order (experimental, env-gated): within each
+    if cfg.shadow_order == "light" and lp.shape[0]:
+        # shadow-priority order (cfg.shadow_order): within each
         # trans/opaque section, scan blocks NEAREST the lights first — every
         # shadow segment converges at a light, so near-light geometry is
         # crossed (and opaquely hit) by the most (ray, light) pairs; hitting
         # it early saturates per-lane opacity sooner, letting the LANE_GATE
-        # evolving gate skip later blocks. Order-free semantics (same
-        # argument as the trans-first permutation above).
+        # evolving gate skip later blocks. Semantically order-free (same
+        # argument as the trans-first permutation above), but the f32
+        # shadow-sum ORDER changes, so outputs are allclose — not
+        # bit-identical (scripts/tpu_shadoworder_ab.py).
         lo, hi = aabb[:, 0:3], aabb[:, 3:6]
         ldist = np.full(nb, np.inf, np.float32)
         nonempty = (lo <= hi).all(axis=1)

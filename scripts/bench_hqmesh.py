@@ -60,9 +60,9 @@ def frame():
             trace_rays_tiled_u32(ds, cfg, o[gs : gs + sz], d[gs : gs + sz], w_dev)
         )
         gs += sz
-    for p in parts:  # queue every D2H up front (stream as groups finish)
+    for p, _dr in parts:  # queue every D2H up front (stream as groups finish)
         p.copy_to_host_async()
-    return np.concatenate([np.asarray(p) for p in parts])
+    return np.concatenate([np.asarray(p) for p, _dr in parts])
 
 
 t0 = time.monotonic(); frame()

@@ -79,13 +79,13 @@ for name, feats in CONFIGS.items():
         if tpp and tpp < n_tiles:
             parts = []
             for gs in range(0, n_tiles, tpp):
-                out = trace_rays_tiled_u32(
+                out, _dr = trace_rays_tiled_u32(
                     ds, cfg, o_t[gs : gs + tpp], d_t[gs : gs + tpp], w_dev
                 )
                 np.asarray(out[0, 0])  # per-group sync (watchdog safety)
                 parts.append(out)
             return np.concatenate([np.asarray(p) for p in parts])
-        return np.asarray(trace_rays_tiled_u32(ds, cfg, o_t, d_t, w_dev))
+        return np.asarray(trace_rays_tiled_u32(ds, cfg, o_t, d_t, w_dev)[0])
 
     t0 = time.monotonic()
     frame()

@@ -73,9 +73,9 @@ def frame(name):
               offs_dev, w_dev, n_tiles=sz)
         )
         gs += sz
-    for o in outs:
+    for o, _dr in outs:
         o.copy_to_host_async()
-    return np.concatenate([np.asarray(o) for o in outs])
+    return np.concatenate([np.asarray(o) for o, _dr in outs])
 
 
 frames = {}

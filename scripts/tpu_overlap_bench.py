@@ -89,7 +89,7 @@ for tile_rays in TILES:
     print(f"-- tile_rays={tile_rays}: {n_tiles} tiles --", flush=True)
 
     def single(cfg=cfg, ds=ds, o_t=o_t, d_t=d_t, w_dev=w_dev):
-        return np.asarray(trace_rays_tiled_u32(ds, cfg, o_t, d_t, w_dev))
+        return np.asarray(trace_rays_tiled_u32(ds, cfg, o_t, d_t, w_dev)[0])
 
     run(f"T={tile_rays} single", single)
 
@@ -106,7 +106,7 @@ for tile_rays in TILES:
                 )
                 for g in range(G)
             ]  # all dispatched before any fetch
-            return np.concatenate([np.asarray(o) for o in outs])
+            return np.concatenate([np.asarray(o) for o, _dr in outs])
 
         run(f"T={tile_rays} G={G} overlapped", grouped)
 
@@ -131,7 +131,7 @@ for tile_rays in TILES:
                     )
                 )
                 gs += sz
-            return np.concatenate([np.asarray(o) for o in outs])
+            return np.concatenate([np.asarray(o) for o, _dr in outs])
 
         run(f"T={tile_rays} taper {spec}", tapered)
 
@@ -148,8 +148,8 @@ for tile_rays in TILES:
                     )
                 )
                 gs += sz
-            for o in outs:
+            for o, _dr in outs:
                 o.copy_to_host_async()
-            return np.concatenate([np.asarray(o) for o in outs])
+            return np.concatenate([np.asarray(o) for o, _dr in outs])
 
         run(f"T={tile_rays} taper+async {spec}", tapered_async)

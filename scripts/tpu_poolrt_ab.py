@@ -63,9 +63,9 @@ def frame(cfg):
             )
         )
         gs += sz
-    for o in outs:
+    for o, _dr in outs:
         o.copy_to_host_async()
-    return np.concatenate([np.asarray(o) for o in outs])
+    return np.concatenate([np.asarray(o) for o, _dr in outs])
 
 
 VARIANTS = {

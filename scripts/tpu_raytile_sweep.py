@@ -58,7 +58,7 @@ for over in VARIANTS:
     w_dev = jnp.asarray(plan.weights)
 
     def frame():
-        out = trace_rays_tiled_u32(ds, cfg, o_t, d_t, w_dev)
+        out, _dr = trace_rays_tiled_u32(ds, cfg, o_t, d_t, w_dev)
         return np.asarray(out)
 
     t0 = time.monotonic()

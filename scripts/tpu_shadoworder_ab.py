@@ -1,7 +1,7 @@
 """Same-session A/B of the shadow-pack block ORDER on the extreme-config
 light kernel (device events).
 
-RT_SHADOW_ORDER=light (scene/device.py) scans blocks NEAREST the lights
+shadow_order="light" (RenderConfig) scans blocks NEAREST the lights
 first within each trans/opaque section: every shadow segment converges at
 its light, so near-light geometry is crossed (and opaquely hit) by the
 most (ray, light) pairs — hitting it early saturates per-lane opacity
@@ -60,11 +60,13 @@ cfg = RenderConfig(
 scene = build("semesterbild", cfg)
 scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
 
+import dataclasses
+
 dss = {}
 for order in ("camera", "light"):
-    os.environ["RT_SHADOW_ORDER"] = order
-    dss[order] = build_device_scene(scene, cfg)
-os.environ["RT_SHADOW_ORDER"] = "camera"
+    dss[order] = build_device_scene(
+        scene, dataclasses.replace(cfg, shadow_order=order)
+    )
 ds = dss["camera"]
 
 plan = plan_frame(cfg)

@@ -72,9 +72,9 @@ def frame(sizes, use_async, gen=False):
             )
         gs += sz
     if use_async:
-        for o in outs:
+        for o, _dr in outs:
             o.copy_to_host_async()
-    return np.concatenate([np.asarray(o) for o in outs])
+    return np.concatenate([np.asarray(o) for o, _dr in outs])
 
 
 # MODE=sched: uniform G8 vs tapered (async per AB_ASYNC on both)

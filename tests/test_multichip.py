@@ -217,9 +217,12 @@ def test_sharded_u32_encode_matches_single():
     w = jnp.ones((1,), jnp.float32)  # no AA: one unit-weight sample/pixel
 
     mesh = make_mesh(8)
-    u_m = trace_tiles_sharded_u32(ds, cfg, o_tiles, d_tiles, w, mesh)
-    u_1 = trace_rays_tiled_u32(ds, cfg, o_tiles, d_tiles, w)
+    u_m, dr_m = trace_tiles_sharded_u32(ds, cfg, o_tiles, d_tiles, w, mesh)
+    u_1, dr_1 = trace_rays_tiled_u32(ds, cfg, o_tiles, d_tiles, w)
     np.testing.assert_array_equal(np.asarray(u_m), np.asarray(u_1))
+    # the drop audit rides both paths; a healthy trace never saturates
+    assert int(np.asarray(dr_m).sum()) == 0
+    assert int(np.asarray(dr_1).sum()) == 0
 
     base = dataclasses.replace(cfg, width=48, height=32, use_pallas=False)
     buf1 = RaytracerRenderer(base).render(mixed_scene(base))
