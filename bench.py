@@ -228,17 +228,21 @@ def main():
     # compact pixel permutation (4 B/pixel, uploaded once) and rebuilds the
     # rays bit-identically in-program — no host (o, d) buffers at all
     # (24·aa B/pixel; ~0.9 GB at extreme full res). BENCH_RAYGEN=0 restores
-    # the host build. Mesh mode keeps host rays (sharded upload path).
+    # the host build. Mesh mode runs the SAME pipeline per chip
+    # (trace_tiles_sharded_u32_gen — VERDICT r3 #1).
     raygen = (
         os.environ.get("BENCH_RAYGEN", "1") == "1"
         and cfg.device_encode
-        and cfg.devices == 1
     )
     if raygen:
         from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import (
             frame_order_device,
         )
 
+        if cfg.devices > 1:  # pad the tile axis for equal per-device tiles
+            n_tiles = (
+                (n_tiles + cfg.devices - 1) // cfg.devices * cfg.devices
+            )
         order_dev, offs_dev = frame_order_device(cfg, plan, n_tiles)
         pixt = plan.pix_per_tile
         o_tiles = d_tiles = None
@@ -260,10 +264,14 @@ def main():
     w_dev = jnp.asarray(plan.weights)
     if cfg.devices > 1:
         from hslu_i.ba_raytracing.f2501_raytracer_tpu.parallel.mesh import (
-            make_mesh, trace_tiles_sharded, trace_tiles_sharded_u32,
+            make_mesh, shard_scene, trace_tiles_sharded,
+            trace_tiles_sharded_u32, trace_tiles_sharded_u32_gen,
         )
 
         mesh = make_mesh(cfg.devices)
+        # replicate the scene once; every frame/group program reuses the
+        # committed buffers
+        dscene = shard_scene(dscene, mesh)
     # device-side u32 pixel encode (the reference's framebuffer format):
     # AA reduce + u8 pack fuse into the frame program and the host fetches
     # 4 bytes/pixel instead of 12·aa f32 — the f32 fetch measured ~650 ms
@@ -294,10 +302,57 @@ def main():
         # configs that would outlive the relay watchdog in one executable.
         group = cfg.tiles_per_program
         if cfg.devices > 1:
+            # the mesh path runs the SAME wall machinery as one chip:
+            # overlapped/tapered fetch groups (units of the mesh size so
+            # every device gets equal local tiles per program), device-side
+            # ray gen, async D2H streaming (VERDICT r3 #1)
+            n_units = n_tiles // cfg.devices
+            if use_u32 and overlap > 1 and (
+                (taper and n_units >= 2)
+                or (n_units % overlap == 0 and n_units >= overlap)
+            ):
+                if taper:
+                    sizes = fetch_schedule(
+                        n_tiles, max_groups=max(overlap, 2),
+                        align=cfg.devices,
+                    )
+                else:
+                    sizes = [(n_units // overlap) * cfg.devices] * overlap
+                parts, gs = [], 0
+                for sz in sizes:  # all dispatched before any fetch
+                    if raygen:
+                        parts.append(
+                            trace_tiles_sharded_u32_gen(
+                                dscene, cfg,
+                                order_dev[gs * pixt : (gs + sz) * pixt],
+                                offs_dev, w_dev, mesh, n_tiles=sz,
+                            )
+                        )
+                    else:
+                        parts.append(
+                            trace_tiles_sharded_u32(
+                                dscene, cfg, o_tiles[gs : gs + sz],
+                                d_tiles[gs : gs + sz], w_dev, mesh,
+                            )
+                        )
+                    gs += sz
+                for p, dr in parts:
+                    p.copy_to_host_async()
+                    dr.copy_to_host_async()
+                fbp = np.concatenate([np.asarray(p) for p, _ in parts])
+                for _, dr in parts:
+                    note_drops(dr)
+                return fbp
             if use_u32:
-                outs, dr = trace_tiles_sharded_u32(
-                    dscene, cfg, o_tiles, d_tiles, w_dev, mesh
-                )
+                if raygen:
+                    outs, dr = trace_tiles_sharded_u32_gen(
+                        dscene, cfg, order_dev, offs_dev, w_dev, mesh,
+                        n_tiles=n_tiles,
+                    )
+                else:
+                    outs, dr = trace_tiles_sharded_u32(
+                        dscene, cfg, o_tiles, d_tiles, w_dev, mesh
+                    )
                 note_drops(dr)
             else:
                 outs = trace_tiles_sharded(dscene, cfg, o_tiles, d_tiles, mesh)

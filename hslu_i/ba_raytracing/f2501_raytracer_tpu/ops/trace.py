@@ -395,6 +395,40 @@ def trace_rays_tiled_u32(scene: DeviceScene, cfg: RenderConfig, o_tiles, d_tiles
     return jax.lax.map(per_tile, (o_tiles, d_tiles))
 
 
+def make_raygen_per_tile(scene: DeviceScene, cfg: RenderConfig, offsets,
+                         aa_weights, pix_t: int):
+    """Per-tile body shared by the single-chip and mesh-sharded device-side
+    ray-generation paths: (pix_t,) int32 tile-major pixel indices (-1 =
+    padding) -> (u32 pixels (pix_t,), dropped int32). Bit-identical to the
+    host ray build (tests/test_renderer_layout.py gen gate); under a mesh
+    each device runs this same body over its local tiles, so mesh outputs
+    are bit-identical to single-chip (tests/test_multichip.py)."""
+    U = offsets.shape[0]
+    cam = cfg.camera
+    focus = jnp.asarray(cam.render_ray_focus, jnp.float32)
+    zdir = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+
+    def per_tile(og_t):
+        pad = og_t < 0
+        idx = jnp.maximum(og_t, 0)
+        px = (idx % cfg.width).astype(jnp.float32) * jnp.float32(cam.w2s_width)
+        py = (idx // cfg.width).astype(jnp.float32) * jnp.float32(cam.w2s_height)
+        coords = jnp.stack([px, py, jnp.zeros_like(px)], axis=-1)  # (P, 3)
+        dirs = coords - focus[None, :]
+        o = coords[:, None, :] + offsets[None, :, :]  # (P, U, 3)
+        d = jnp.broadcast_to(dirs[:, None, :], (pix_t, U, 3))
+        o = jnp.where(pad[:, None, None], 0.0, o).reshape(pix_t * U, 3)
+        d = jnp.where(
+            pad[:, None, None], zdir[None, None, :], d
+        ).reshape(pix_t * U, 3)
+        color, valid, stats = trace_rays.__wrapped__(
+            scene, cfg, o, d, with_stats=True
+        )
+        return encode_pixels_u32(color, valid, aa_weights), stats["dropped"]
+
+    return per_tile
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_tiles"))
 def trace_rays_tiled_u32_gen(scene: DeviceScene, cfg: RenderConfig,
                              order_group, offsets, aa_weights, n_tiles: int):
@@ -414,27 +448,7 @@ def trace_rays_tiled_u32_gen(scene: DeviceScene, cfg: RenderConfig,
     Returns (u32 (n_tiles, P), dropped (n_tiles,) int32) like
     trace_rays_tiled_u32."""
     P = order_group.shape[0] // n_tiles
-    U = offsets.shape[0]
-    cam = cfg.camera
-    focus = jnp.asarray(cam.render_ray_focus, jnp.float32)
-    zdir = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
-
-    def per_tile(og_t):
-        pad = og_t < 0
-        idx = jnp.maximum(og_t, 0)
-        px = (idx % cfg.width).astype(jnp.float32) * jnp.float32(cam.w2s_width)
-        py = (idx // cfg.width).astype(jnp.float32) * jnp.float32(cam.w2s_height)
-        coords = jnp.stack([px, py, jnp.zeros_like(px)], axis=-1)  # (P, 3)
-        dirs = coords - focus[None, :]
-        o = coords[:, None, :] + offsets[None, :, :]  # (P, U, 3)
-        d = jnp.broadcast_to(dirs[:, None, :], (P, U, 3))
-        o = jnp.where(pad[:, None, None], 0.0, o).reshape(P * U, 3)
-        d = jnp.where(pad[:, None, None], zdir[None, None, :], d).reshape(P * U, 3)
-        color, valid, stats = trace_rays.__wrapped__(
-            scene, cfg, o, d, with_stats=True
-        )
-        return encode_pixels_u32(color, valid, aa_weights), stats["dropped"]
-
+    per_tile = make_raygen_per_tile(scene, cfg, offsets, aa_weights, P)
     return jax.lax.map(per_tile, order_group.reshape(n_tiles, P))
 
 

@@ -148,6 +148,52 @@ def trace_tiles_sharded_u32(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_tiles", "pix_t", "mesh"))
+def _sharded_u32_gen(scene, offsets, aa_weights, order_2d, *, cfg, n_tiles,
+                     pix_t, mesh):
+    from ..ops.trace import make_raygen_per_tile
+
+    axis = mesh.axis_names[0]
+
+    def local(scene_rep, offs_rep, w_rep, og_sh):
+        per_tile = make_raygen_per_tile(scene_rep, cfg, offs_rep, w_rep, pix_t)
+        return jax.lax.map(per_tile, og_sh)
+
+    mapped = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,  # no cross-device communication in this map
+    )
+    return mapped(scene, offsets, aa_weights, order_2d)
+
+
+def trace_tiles_sharded_u32_gen(
+    scene: DeviceScene, cfg: RenderConfig, order_group, offsets, aa_weights,
+    mesh: Mesh, n_tiles: int,
+):
+    """`trace_rays_tiled_u32_gen` sharded over the mesh's tile axis: the
+    wall-optimized production pipeline (device-side ray generation from the
+    4 B/pixel tile-major permutation + fused u32 pixel encode + per-tile
+    drop counter) on every chip. Each device lax.maps the SAME per-tile body
+    as the single-chip path over its local n_tiles/ndev tiles, so outputs
+    are bit-identical to single-chip (tests/test_multichip.py) and the
+    renderer's overlapped/tapered fetch groups can dispatch several of these
+    programs back to back (SURVEY.md §2.3; the reference's image-plane
+    scale-out obligation)."""
+    ndev = mesh.devices.size
+    assert n_tiles % ndev == 0, (n_tiles, ndev)
+    pix_t = order_group.shape[0] // n_tiles
+    shd = NamedSharding(mesh, P(mesh.axis_names[0]))
+    rep = NamedSharding(mesh, P())
+    return _sharded_u32_gen(
+        shard_scene(scene, mesh),
+        jax.device_put(jnp.asarray(offsets), rep),
+        jax.device_put(jnp.asarray(aa_weights), rep),
+        jax.device_put(order_group.reshape(n_tiles, pix_t), shd),
+        cfg=cfg, n_tiles=n_tiles, pix_t=pix_t, mesh=mesh,
+    )
+
+
 def trace_rays_sharded(scene: DeviceScene, cfg: RenderConfig, origins, directions, mesh: Mesh):
     """Data-parallel trace with sharded outputs (no gather): the natural mode
     when the host assembles tiles."""

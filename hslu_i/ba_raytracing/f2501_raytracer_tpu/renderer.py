@@ -56,14 +56,21 @@ class FramePlan:
         return self.offsets.shape[0]
 
 
-def fetch_schedule(n_tiles: int, max_groups: int = 8) -> list:
+def fetch_schedule(n_tiles: int, max_groups: int = 8, align: int = 1) -> list:
     """Front-loaded fetch-group sizes summing to `n_tiles` (cfg.fetch_taper):
     built back-to-front as 1,1,2,2,3,3,... (the exposed wall tail is the
     last group's host fetch; an early group's fetch hides under all the
     compute still queued behind it), overshoot trimmed, then desc-sorted.
     Group count is capped by merging the largest groups — program-switch
     bubbles grow with group count (G=16 measured worse than G=8,
-    scripts/tpu_overlap_bench.py)."""
+    scripts/tpu_overlap_bench.py).
+
+    `align` > 1 schedules in units of `align` tiles (n_tiles must divide):
+    under a device mesh every group must give each chip the same local tile
+    count, so groups are multiples of the mesh size."""
+    if align > 1:
+        assert n_tiles % align == 0, (n_tiles, align)
+        return [s * align for s in fetch_schedule(n_tiles // align, max_groups)]
     sizes, k = [], 1
     while sum(sizes) < n_tiles:
         for _ in range(2):
@@ -255,13 +262,18 @@ class RaytracerRenderer:
             # debug stats are requested.
             use_u32 = cfg.device_encode and not ws
             fg = cfg.fetch_groups
+            # overlapped fetch applies under a mesh too: groups are
+            # scheduled in units of the mesh size so every chip gets the
+            # same local tile count per program (VERDICT r3 #1 — the mesh
+            # path must run the same wall-optimized pipeline as one chip)
+            align_u = ndev if use_mesh else 1
+            n_units = n_pad // align_u
             overlap_ok = (
                 group >= n_pad
-                and not use_mesh
                 and fg > 1
                 and (
-                    (cfg.fetch_taper and n_pad >= 2)
-                    or (n_pad >= fg and n_pad % fg == 0)
+                    (cfg.fetch_taper and n_units >= 2)
+                    or (n_units >= fg and n_units % fg == 0)
                 )
             )
             # device-side ray generation (cfg.device_ray_gen): the overlap
@@ -304,9 +316,17 @@ class RaytracerRenderer:
                     # fetch_taper front-loads the sizes (the exposed tail
                     # is the LAST group's fetch — 725 vs 740 ms uniform).
                     if cfg.fetch_taper:
-                        sizes = fetch_schedule(n_pad, max_groups=max(fg, 2))
+                        sizes = fetch_schedule(
+                            n_pad, max_groups=max(fg, 2), align=align_u
+                        )
                     else:
                         sizes = [n_pad // fg] * fg
+                    if use_mesh:
+                        # replicate the scene once; every group program
+                        # reuses the committed buffers
+                        from .parallel.mesh import shard_scene
+
+                        dscene = shard_scene(dscene, mesh)
                     parts, gs = [], 0
                     if use_gen:
                         from .ops.trace import trace_rays_tiled_u32_gen
@@ -314,24 +334,49 @@ class RaytracerRenderer:
                         order_dev, offs_dev = frame_order_device(cfg, plan, n_pad)
                         P = plan.pix_per_tile
                         for sz in sizes:
-                            parts.append(
-                                trace_rays_tiled_u32_gen(
-                                    dscene, cfg,
-                                    order_dev[gs * P : (gs + sz) * P],
-                                    offs_dev, w_dev, n_tiles=sz,
+                            if use_mesh:
+                                from .parallel.mesh import (
+                                    trace_tiles_sharded_u32_gen,
                                 )
-                            )
+
+                                parts.append(
+                                    trace_tiles_sharded_u32_gen(
+                                        dscene, cfg,
+                                        order_dev[gs * P : (gs + sz) * P],
+                                        offs_dev, w_dev, mesh, n_tiles=sz,
+                                    )
+                                )
+                            else:
+                                parts.append(
+                                    trace_rays_tiled_u32_gen(
+                                        dscene, cfg,
+                                        order_dev[gs * P : (gs + sz) * P],
+                                        offs_dev, w_dev, n_tiles=sz,
+                                    )
+                                )
                             gs += sz
                     else:
                         o_j = jax.numpy.asarray(o_all)
                         d_j = jax.numpy.asarray(d_all)
                         for sz in sizes:
-                            parts.append(
-                                trace_rays_tiled_u32(
-                                    dscene, cfg, o_j[gs : gs + sz],
-                                    d_j[gs : gs + sz], w_dev,
+                            if use_mesh:
+                                from .parallel.mesh import (
+                                    trace_tiles_sharded_u32,
                                 )
-                            )
+
+                                parts.append(
+                                    trace_tiles_sharded_u32(
+                                        dscene, cfg, o_j[gs : gs + sz],
+                                        d_j[gs : gs + sz], w_dev, mesh,
+                                    )
+                                )
+                            else:
+                                parts.append(
+                                    trace_rays_tiled_u32(
+                                        dscene, cfg, o_j[gs : gs + sz],
+                                        d_j[gs : gs + sz], w_dev,
+                                    )
+                                )
                             gs += sz
                     # queue every D2H up front: results stream to the host
                     # as groups finish instead of one blocking relay round

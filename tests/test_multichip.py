@@ -231,3 +231,60 @@ def test_sharded_u32_encode_matches_single():
     )
     np.testing.assert_array_equal(buf8.get_u32_slice(), buf1.get_u32_slice())
     np.testing.assert_array_equal(buf8.valid, buf1.valid)
+
+def test_mesh_wall_pipeline_bit_identical():
+    """The WALL-OPTIMIZED mesh path (VERDICT r3 #1): device-side ray
+    generation + fused u32 encode + overlapped/tapered fetch groups must be
+    bit-identical to single-chip through both the raw op and the renderer.
+
+    (a) trace_tiles_sharded_u32_gen == trace_rays_tiled_u32_gen per tile;
+    (b) RaytracerRenderer(devices=8, device_ray_gen=True, fetch_groups=4,
+        fetch_taper) == the single-chip render, byte-for-byte."""
+    import dataclasses
+
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.ops.trace import (
+        trace_rays_tiled_u32_gen,
+    )
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.parallel.mesh import (
+        trace_tiles_sharded_u32_gen,
+    )
+    from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import (
+        RaytracerRenderer, frame_order_device, plan_frame,
+    )
+
+    cfg = RenderConfig(
+        width=64, height=64, reflections=True, refractions=True,
+        compaction_ratio=2, max_nodes=48, tile_rays=512, device_encode=True,
+        device_ray_gen=True,
+    )
+    scene = mixed_scene(cfg)
+    ds = build_device_scene(scene, cfg)
+    plan = plan_frame(cfg)
+    n_tiles = plan.n_tiles
+    assert n_tiles % 8 == 0, n_tiles
+    order_dev, offs_dev = frame_order_device(cfg, plan, n_tiles)
+    w = jnp.asarray(plan.weights)
+
+    mesh = make_mesh(8)
+    u_m, dr_m = trace_tiles_sharded_u32_gen(
+        ds, cfg, order_dev, offs_dev, w, mesh, n_tiles=n_tiles
+    )
+    u_1, dr_1 = trace_rays_tiled_u32_gen(
+        ds, cfg, order_dev, offs_dev, w, n_tiles=n_tiles
+    )
+    np.testing.assert_array_equal(np.asarray(u_m), np.asarray(u_1))
+    assert int(np.asarray(dr_m).sum()) == 0
+    assert int(np.asarray(dr_1).sum()) == 0
+
+    # renderer end-to-end: mesh overlap+gen vs single-chip (which itself is
+    # gated bit-identical to the host ray build in test_renderer_layout)
+    base = dataclasses.replace(
+        cfg, width=48, height=64, use_pallas=False, tile_rays=512,
+        fetch_groups=4, fetch_taper=True,
+    )
+    buf1 = RaytracerRenderer(base).render(mixed_scene(base))
+    buf8 = RaytracerRenderer(dataclasses.replace(base, devices=8)).render(
+        mixed_scene(base)
+    )
+    np.testing.assert_array_equal(buf8.get_u32_slice(), buf1.get_u32_slice())
+    np.testing.assert_array_equal(buf8.valid, buf1.valid)
