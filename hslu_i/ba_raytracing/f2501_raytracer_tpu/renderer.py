@@ -57,13 +57,24 @@ class FramePlan:
 
 
 def fetch_schedule(n_tiles: int, max_groups: int = 8, align: int = 1) -> list:
-    """Front-loaded fetch-group sizes summing to `n_tiles` (cfg.fetch_taper):
-    built back-to-front as 1,1,2,2,3,3,... (the exposed wall tail is the
-    last group's host fetch; an early group's fetch hides under all the
-    compute still queued behind it), overshoot trimmed, then desc-sorted.
-    Group count is capped by merging the largest groups — program-switch
-    bubbles grow with group count (G=16 measured worse than G=8,
-    scripts/tpu_overlap_bench.py).
+    """Balanced front-loaded fetch-group sizes summing to `n_tiles`
+    (cfg.fetch_taper): q+1-sized groups first, then q-sized, where
+    q = n_tiles // groups. Properties that matter:
+
+    - ANY n_tiles >= 1 splits (lifts the uniform split's divisibility
+      requirement, so e.g. 7-tile frames still overlap);
+    - the LAST group is the small size — the exposed wall tail is the last
+      group's host fetch, so a smaller tail fetch hides better (the
+      steeper 1,1,2,2,3,... taper measured a wash vs uniform once fetches
+      stream async — scripts/tpu_taper_ab.py — so only the tail matters);
+    - AT MOST 2 DISTINCT GROUP SIZES. Each distinct size is a separately
+      compiled XLA executable of the whole frame program; the steep taper
+      at 16 tiles produced sizes {4,3,2,1} = 4 cold compiles where the
+      balanced schedule compiles 1 ([2]*8). BENCH_r03 session 1 paid
+      264.8 s cold for exactly this.
+
+    Group count is capped at max_groups — program-switch bubbles grow with
+    group count (G=16 measured worse than G=8, scripts/tpu_overlap_bench.py).
 
     `align` > 1 schedules in units of `align` tiles (n_tiles must divide):
     under a device mesh every group must give each chip the same local tile
@@ -71,22 +82,9 @@ def fetch_schedule(n_tiles: int, max_groups: int = 8, align: int = 1) -> list:
     if align > 1:
         assert n_tiles % align == 0, (n_tiles, align)
         return [s * align for s in fetch_schedule(n_tiles // align, max_groups)]
-    sizes, k = [], 1
-    while sum(sizes) < n_tiles:
-        for _ in range(2):
-            if sum(sizes) >= n_tiles:
-                break
-            sizes.append(k)
-        k += 1
-    over = sum(sizes) - n_tiles
-    if over:
-        sizes[-1] -= over
-        if sizes[-1] == 0:
-            sizes.pop()
-    sizes.sort(reverse=True)
-    while len(sizes) > max_groups:
-        sizes = [sizes[0] + sizes[1]] + sizes[2:]
-    return sizes
+    g = max(1, min(max_groups, n_tiles))
+    q, r = divmod(n_tiles, g)
+    return [q + 1] * r + [q] * (g - r)
 
 
 def _warn_drops(n_dropped: int) -> None:

@@ -178,13 +178,17 @@ def test_device_ray_gen_is_bit_identical():
 def test_fetch_schedule_shapes():
     from hslu_i.ba_raytracing.f2501_raytracer_tpu.renderer import fetch_schedule
 
-    assert fetch_schedule(16) == [4, 3, 3, 2, 2, 1, 1]
-    assert fetch_schedule(8) == [2, 2, 2, 1, 1]
+    assert fetch_schedule(16) == [2] * 8  # ONE compiled group shape
+    assert fetch_schedule(8) == [1] * 8
     assert fetch_schedule(2) == [1, 1]
     assert fetch_schedule(1) == [1]
+    assert fetch_schedule(17) == [3] + [2] * 7
+    assert fetch_schedule(7) == [1] * 7  # non-divisible counts still split
     for n in range(1, 70):
         s = fetch_schedule(n)
         assert sum(s) == n
         assert s == sorted(s, reverse=True)  # front-loaded
         assert len(s) <= 8
         assert all(x >= 1 for x in s)
+        # each distinct size is a separate XLA executable to cold-compile
+        assert len(set(s)) <= 2
