@@ -112,7 +112,16 @@ def main():
         # protocol self-test without a chip (the axon plugin ignores the
         # JAX_PLATFORMS env var, so this must be a config update)
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # repo-local persistent compile cache (gitignored): /tmp is wiped with
+    # the VM between driver rounds (observed round 4: 7 entries at session
+    # start -> 263.7 s cold compile), while the repo workspace survives —
+    # a bench run in any earlier session of the same round (or a prior
+    # round on the same image) pre-warms every later session
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 

@@ -1113,6 +1113,31 @@ OPQ_GATE = os.environ.get("RT_OPQ_GATE", "1") != "0"
 # seeded from the sphere/big-primitive pre-pass). Module flag for A/B.
 LANE_GATE = os.environ.get("RT_LANE_GATE", "1") != "0"
 
+# dominant-occluder prime (two-pass shadow evaluation, VERDICT r3 items
+# 2/4): multi-chunk light loops (soft-shadow clouds, light.rs:183-226)
+# pick, per chunk, the opaque Morton block whose AABB is crossed by the
+# most still-live (light, lane) pairs — read straight off the LANE_GATE
+# cross masks — and run JUST that block's opacity update before the scan.
+# Cloud lights of one source share occluders, so umbra lanes saturate
+# before block 0 and LANE_GATE drops them from the entire scan instead of
+# only the blocks after the occluder's Morton slot. Exact: the prime only
+# raises the opq carry (max of opaque-hit indicators) of lanes the scan
+# would have saturated anyway at the same block, and every downstream term
+# of a saturated lane is discarded (can_reach = opq < 1 in `_light_sums`);
+# kernel outputs are bit-identical (tests/test_prime_gate.py). Active only
+# when LANE_GATE is on and the light pack spans >1 chunk (single-chunk
+# configs compile the exact round-3 program).
+#
+# DEFAULT OFF — measured NEGATIVE on the representative extreme tile
+# (scripts/tpu_prime_ab.py, 131k mid-frame rays, 97.3% hit, 140 lights,
+# B=256/RT=512): +15.0% (carry-free per-chunk selection) and +15.9% (an
+# earlier cross-chunk newly-saturated argmax carry). Per-LANE saturation
+# cannot empty a whole block's crossing set at RT=512, so the scan skips
+# almost no additional (block, light) pairs while the prime pays one extra
+# block per chunk plus selection; same block-granularity wall as OPQ_GATE
+# at RT=512 and the pool_ray_tile sweep (PERF.md round 4).
+PRIME_GATE = os.environ.get("RT_PRIME_GATE", "0") != "0"
+
 
 def _bigtri_occl_split(trb, sox, soy, soz, dx, dy, dz, maxd,
                        backface_culling, trans_rows):
@@ -1248,9 +1273,52 @@ def _pair_flip_update(blk, carry, lj, P, trans_block, backface_culling):
     )
 
 
+def _pair_flip_opq(blk, opq, lj, P, backface_culling):
+    """Opacity-only slice of `_pair_flip_update` for an all-opaque block:
+    the dominant-occluder prime (PRIME_GATE). Raises `opq` exactly where
+    the full scan would when it reaches this block; dec/fr/fg/fb are left
+    untouched (they are discarded downstream whenever opq >= 1 —
+    `_light_sums` can_reach). Same validity math as `_pair_flip_update`
+    (raytracer.rs:24-106)."""
+    Pu, Pv, Pw, Pn = P
+    lpx, lpy, lpz = lj["lpx"], lj["lpy"], lj["lpz"]
+
+    def col(i):
+        return blk[:, i : i + 1]
+
+    def lf(c):
+        return lpx * col(c) + lpy * col(3 + c) + lpz * col(6 + c) + col(9 + c)
+
+    Du = lf(0) - Pu
+    Dv = lf(1) - Pv
+    Dw = lf(2) - Pw
+    el = lj["el"][None, :]
+    t = -(Pw + el * Dw) / Dw
+    u = (Pu + el * Du) + t * Du
+    v = (Pv + el * Dv) + t * Dv
+    det = Dw * col(12)
+    httr = col(14) != 0.0
+    valid = (
+        (t > lj["epsT"][None, :])
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v < 1.0)
+        & (jnp.abs(det) > lj["epsD"][None, :])
+        & (col(13) != 0.0)
+    )
+    if backface_culling:
+        Ln = lpx * col(15) + lpy * col(16) + lpz * col(17)
+        cos_nv = (Pn - Ln) * lj["inv_lt"][None, :]
+        valid &= (-cos_nv < 0.75) | httr
+    hit = valid & (t <= lj["maxdp"][None, :])
+    return jnp.maximum(
+        opq, jnp.max(jnp.where(hit & ~httr, 1.0, 0.0), axis=0)
+    )
+
+
 def _tri_occl_lights_lanegate(
     pack_ref, baabb_ref, ptx, pty, ptz, lights, carries,
-    *, nb, nb_trans, backface_culling,
+    *, nb, nb_trans, backface_culling, prime=False,
 ):
     """`_tri_occl_lights` with per-lane evolving-opacity gating (LANE_GATE):
     one (nb, RT) crossing-mask scratch per light (written by the same slab
@@ -1321,6 +1389,51 @@ def _tri_occl_lights_lanegate(
             cross_refs[j][:] = jnp.where(cross, 1.0, 0.0)
 
         cs = carries
+        if prime and nb_trans < nb:
+            # dominant-occluder prime (PRIME_GATE): pick the opaque block
+            # whose AABB is crossed by the most still-live (light, lane)
+            # pairs — the cross masks are already resident at full
+            # (nb, RT) rank — and run JUST its opq update first, so umbra
+            # lanes drop out of every block's per-lane gate below. A
+            # carry-free per-chunk selection: an earlier cross-chunk
+            # newly-saturated argmax carried through the fori was measured
+            # +15.9% on the extreme tile (the tracking restructured the
+            # hot loop); this form leaves the scan loops untouched.
+            score = None
+            for j in range(C):
+                s = jnp.sum(
+                    jnp.where(
+                        (cross_refs[j][:] != 0.0)
+                        & (cs[j][1] < 1.0)[None, :],
+                        1.0, 0.0,
+                    ),
+                    axis=1,
+                )  # (nb,)
+                score = s if score is None else score + s
+            if nb_trans:
+                score = score.at[:nb_trans].set(-1.0)
+            b_dom = jnp.argmax(score).astype(jnp.int32)
+
+            def do_prime(cs):
+                blk = pack_ref[b_dom]
+                P = _pt_transforms_flip(blk, ptx, pty, ptz, backface_culling)
+                out = []
+                for j in range(C):
+                    aj = jnp.any(
+                        (cross_refs[j][b_dom] != 0.0) & (cs[j][1] < 1.0)
+                    )
+                    opq = jax.lax.cond(
+                        aj,
+                        lambda o, j=j: _pair_flip_opq(
+                            blk, o, lights[j], P, backface_culling
+                        ),
+                        lambda o: o,
+                        cs[j][1],
+                    )
+                    out.append((cs[j][0], opq) + tuple(cs[j][2:]))
+                return tuple(out)
+
+            cs = jax.lax.cond(jnp.max(score) > 0.0, do_prime, lambda c: c, cs)
         if nb_trans:
             cs = jax.lax.fori_loop(
                 0, nb_trans, lambda b, cc: body(b, cc, True)(cross_refs), cs
@@ -1338,7 +1451,7 @@ def _tri_occl_lights_lanegate(
 
 def _tri_occl_lights(
     pack_ref, baabb_ref, ptx, pty, ptz, lights, carries,
-    *, nb, nb_trans, backface_culling, use_aabb,
+    *, nb, nb_trans, backface_culling, use_aabb, prime=False,
 ):
     """Shadow accumulation over the (nb, B, 32) Morton pack for a CHUNK of
     lights: a ROLLED fori_loop over blocks (two bodies total — transmissive
@@ -1362,6 +1475,7 @@ def _tri_occl_lights(
         return _tri_occl_lights_lanegate(
             pack_ref, baabb_ref, ptx, pty, ptz, lights, carries,
             nb=nb, nb_trans=nb_trans, backface_culling=backface_culling,
+            prime=prime,
         )
     C = len(lights)
 
@@ -1494,6 +1608,13 @@ def _light_sums(
 
     C = min(n_lights, MAX_UNROLL_LIGHTS)
     n_chunks = -(-n_lights // C)
+    # dominant-occluder prime across chunks (PRIME_GATE): only multi-chunk
+    # light packs (soft-shadow clouds) benefit — single-chunk configs keep
+    # the exact round-3 program
+    prime = (
+        PRIME_GATE and use_aabb and LANE_GATE
+        and nb_trans < nb and n_chunks > 1
+    )
 
     def chunk_sums(lv, l0):
         """Direct+specular partial sums for one chunk of C lights. `lv` is
@@ -1579,7 +1700,7 @@ def _light_sums(
             pack_ref, baabb_ref,
             ptx, pty, ptz, lights, tuple(carries),
             nb=nb, nb_trans=nb_trans, backface_culling=backface_culling,
-            use_aabb=use_aabb,
+            use_aabb=use_aabb, prime=prime,
         )
         dec = jnp.stack([c[0] for c in carries])  # (C, RT)
         opq = jnp.stack([c[1] for c in carries])

@@ -144,59 +144,77 @@ def oracle_patch(rx, ry, tag):
     return np.floor(np.clip(patch, 0, 1) * 255.0 + 0.5)
 
 
+# interleave worst/control so partial runs cover both strata; write the
+# JSON + montage INCREMENTALLY after every patch (the per-pixel Python
+# oracle is ~10 s/px — a wall-budget kill must not lose completed patches)
+queue = []
+for i in range(max(len(worst), len(ctrl))):
+    if i < len(worst):
+        queue.append(("worst", i, worst[i]))
+    if i < len(ctrl):
+        queue.append(("control", i, ctrl[i]))
+
+
+def flush_outputs(rows, table, total):
+    img_rows = []
+    for r in rows:
+        img_rows.append(r)
+        img_rows.append(np.full((6, r.shape[1], 3), 255, np.uint8))
+    if img_rows:
+        write_png(
+            os.path.join(OUT, "oracle_grid.png"),
+            np.concatenate(img_rows[:-1], axis=0),
+        )
+    # aggregate verdict: the engine==oracle claim must hold on EVERY patch;
+    # the golden residual should track golden_vs_engine on worst patches
+    # and vanish on controls
+    def _mean(key, kind):
+        vals = [r[key] for r in table if r["kind"] == kind]
+        return round(float(np.mean(vals)), 2) if vals else None
+
+    agg = dict(
+        patches=len(table),
+        patches_planned=total,
+        patch_px=PS,
+        engine_eq_oracle_everywhere=bool(
+            all(r["oracle_vs_engine_cheap_max"] == 0.0 for r in table)
+        ),
+        worst_mean_golden_vs_engine=_mean("golden_vs_engine_full_mean", "worst"),
+        worst_mean_golden_vs_oracle=_mean("golden_vs_oracle_mean", "worst"),
+        control_mean_golden_vs_engine=_mean(
+            "golden_vs_engine_full_mean", "control"),
+        layout="cols: golden | engine(full cfg) | engine(cheap cfg) | oracle(cheap cfg)",
+    )
+    json.dump(dict(summary=agg, patches=table),
+              open(os.path.join(OUT, "oracle_grid.json"), "w"), indent=1)
+    return agg
+
+
 rows, table = [], []
-for kind, picks in (("worst", worst), ("control", ctrl)):
-    for idx, (rx, ry) in enumerate(picks):
-        tag = f"{kind}{idx}@{rx},{ry}"
-        e = engine_patch(rx, ry)
-        o = oracle_patch(rx, ry, tag)
-        g = golden[ry : ry + PS, rx : rx + PS]
-        f = full[ry : ry + PS, rx : rx + PS]
-        rec = dict(
-            kind=kind, xy=[rx, ry],
-            oracle_vs_engine_cheap_max=float(np.abs(o - e).max()),
-            golden_vs_engine_full_mean=round(float(np.abs(g - f).mean()), 2),
-            golden_vs_oracle_mean=round(float(np.abs(g - o).mean()), 2),
-            engine_full_vs_cheap_mean=round(float(np.abs(f - e).mean()), 2),
-        )
-        table.append(rec)
-        print(json.dumps(rec), flush=True)
-        up = 6
+for kind, idx, (rx, ry) in queue:
+    tag = f"{kind}{idx}@{rx},{ry}"
+    e = engine_patch(rx, ry)
+    o = oracle_patch(rx, ry, tag)
+    g = golden[ry : ry + PS, rx : rx + PS]
+    f = full[ry : ry + PS, rx : rx + PS]
+    rec = dict(
+        kind=kind, xy=[rx, ry],
+        oracle_vs_engine_cheap_max=float(np.abs(o - e).max()),
+        golden_vs_engine_full_mean=round(float(np.abs(g - f).mean()), 2),
+        golden_vs_oracle_mean=round(float(np.abs(g - o).mean()), 2),
+        engine_full_vs_cheap_mean=round(float(np.abs(f - e).mean()), 2),
+    )
+    table.append(rec)
+    print(json.dumps(rec), flush=True)
+    up = 6
 
-        def U(a):
-            return np.repeat(np.repeat(a.astype(np.uint8), up, 0), up, 1)
+    def U(a):
+        return np.repeat(np.repeat(a.astype(np.uint8), up, 0), up, 1)
 
-        gap = np.full((PS * up, up, 3), 255, np.uint8)
-        rows.append(
-            np.concatenate([U(g), gap, U(f), gap, U(e), gap, U(o)], axis=1)
-        )
+    gap = np.full((PS * up, up, 3), 255, np.uint8)
+    rows.append(
+        np.concatenate([U(g), gap, U(f), gap, U(e), gap, U(o)], axis=1)
+    )
+    flush_outputs(rows, table, len(queue))
 
-img_rows = []
-for r in rows:
-    img_rows.append(r)
-    img_rows.append(np.full((6, r.shape[1], 3), 255, np.uint8))
-write_png(os.path.join(OUT, "oracle_grid.png"), np.concatenate(img_rows[:-1], axis=0))
-
-# aggregate verdict: the engine==oracle claim must hold on EVERY patch;
-# the golden residual should track golden_vs_engine on worst patches and
-# vanish on controls
-agg = dict(
-    patches=len(table),
-    patch_px=PS,
-    engine_eq_oracle_everywhere=bool(
-        all(r["oracle_vs_engine_cheap_max"] == 0.0 for r in table)
-    ),
-    worst_mean_golden_vs_engine=round(
-        float(np.mean([r["golden_vs_engine_full_mean"] for r in table
-                       if r["kind"] == "worst"])), 2),
-    worst_mean_golden_vs_oracle=round(
-        float(np.mean([r["golden_vs_oracle_mean"] for r in table
-                       if r["kind"] == "worst"])), 2),
-    control_mean_golden_vs_engine=round(
-        float(np.mean([r["golden_vs_engine_full_mean"] for r in table
-                       if r["kind"] == "control"])), 2),
-    layout="cols: golden | engine(full cfg) | engine(cheap cfg) | oracle(cheap cfg)",
-)
-json.dump(dict(summary=agg, patches=table),
-          open(os.path.join(OUT, "oracle_grid.json"), "w"), indent=1)
-print(json.dumps(agg, indent=1))
+print(json.dumps(flush_outputs(rows, table, len(queue)), indent=1))
