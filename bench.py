@@ -60,9 +60,21 @@ CONFIGS = {
 
 def multi_session():
     """Relay-session variance mitigation (~2x between sessions, PERF.md):
-    run the bench in BENCH_SESSIONS fresh child processes (each gets its own
-    relay session; /tmp/jax_cache makes repeat compiles cheap) and report
-    the best session's line. All sessions' numbers go to stderr."""
+    run the bench in up to BENCH_SESSIONS fresh child processes (each gets
+    its own relay session; the committed repo-local .jax_cache makes repeat
+    compiles cheap) and report the best session's line.
+
+    Driver-timeout hardening (round 5 — BENCH_r04 recorded rc=124 with NO
+    final metric line because session 1 paid a 318 s cold compile and the
+    driver killed sessions 2-3):
+      * the best-so-far final metric line is printed+flushed to stdout after
+        EVERY completed session, so a timeout mid-later-session still leaves
+        a valid headline as the last stdout line;
+      * sessions are adaptive under a global BENCH_DEADLINE (default 540 s):
+        another session starts only if the fastest completed session's wall
+        time (plus margin) still fits — a 300 s cold-compile session stops
+        the run at 1 instead of feeding a doomed session to the timeout.
+    """
     import subprocess
 
     n = int(os.environ.get("BENCH_SESSIONS", 3))
@@ -70,37 +82,59 @@ def multi_session():
     # (observed: >25 min dead relay); bound each session so the bench
     # always terminates with the best of whatever sessions succeeded
     session_timeout = float(os.environ.get("BENCH_SESSION_TIMEOUT", 1800))
+    deadline = float(os.environ.get("BENCH_DEADLINE", 540))
+    t_start = time.monotonic()
     results = []
+    best = None
+    session_walls = []
     env = dict(os.environ, BENCH_CHILD="1")
     for s in range(n):
+        elapsed = time.monotonic() - t_start
+        if s > 0:
+            # predict the next session's cost from the cheapest completed
+            # one (warm sessions are near-identical); 1.2x margin
+            est = min(session_walls) * 1.2 if session_walls else deadline
+            if elapsed + est > deadline:
+                sys.stderr.write(
+                    f"stopping after {s} session(s): elapsed {elapsed:.0f}s"
+                    f" + est {est:.0f}s exceeds deadline {deadline:.0f}s\n"
+                )
+                break
+        t_s = time.monotonic()
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True,
-                timeout=session_timeout,
+                timeout=min(session_timeout, max(60, deadline - elapsed)),
             )
         except subprocess.TimeoutExpired as e:
             err = e.stderr or b""
             if isinstance(err, bytes):  # TimeoutExpired ignores text=True
                 err = err.decode(errors="replace")
             sys.stderr.write(
-                f"session {s}: timed out after {session_timeout:.0f}s "
-                f"(relay hang?)\n{err}"
+                f"session {s}: timed out after {time.monotonic()-t_s:.0f}s "
+                f"(relay hang or cold compile > budget)\n{err}"
             )
-            continue
+            break  # out of budget — whatever best we have is the answer
+        session_walls.append(time.monotonic() - t_s)
         sys.stderr.write(p.stderr)
         line = (p.stdout.strip().splitlines() or [""])[-1]
         try:
             results.append(json.loads(line))
         except json.JSONDecodeError:
             sys.stderr.write(f"session {s}: no JSON ({p.returncode})\n")
+            continue
+        new_best = min(results, key=lambda r: r["value"])
+        if new_best is not best:
+            best = new_best
+            print(json.dumps(best), flush=True)  # best-so-far, survives kill
     if not results:
         sys.exit(1)
-    best = min(results, key=lambda r: r["value"])
     sys.stderr.write(
         "session bests (ms): " + ", ".join(str(r["value"]) for r in results) + "\n"
     )
-    print(json.dumps(best))
+    if best is not None and results and min(results, key=lambda r: r["value"]) is not best:
+        print(json.dumps(min(results, key=lambda r: r["value"])), flush=True)
 
 
 def main():

@@ -1204,7 +1204,12 @@ def _pair_flip_update(blk, carry, lj, P, trans_block, backface_culling):
     """Shadow accumulation for ONE (light, block) pair tile in the flipped
     (B, RT) layout from hoisted point transforms (affine factorization).
     Semantics identical to `_tri_occl_comp`'s per-block compute
-    (raytracer.rs:24-106). `blk` is a (B, 32) pack block (trb lane map)."""
+    (raytracer.rs:24-106). `blk` is a (B, 32) pack block (trb lane map).
+
+    NOTE: `_pair_flip_opq` (below) hand-slices this function's valid/hit
+    computation for the opacity-only all-opaque path — any change to the
+    intersection predicate here MUST be mirrored there, and
+    tests/test_prime_gate.py + test_opq_gate.py re-run (ADVICE r4)."""
     dec, opq, fr, fg, fb = carry
     Pu, Pv, Pw, Pn = P
     lpx, lpy, lpz = lj["lpx"], lj["lpy"], lj["lpz"]  # (1, 1) scalars

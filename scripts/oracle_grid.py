@@ -161,10 +161,11 @@ def flush_outputs(rows, table, total):
         img_rows.append(r)
         img_rows.append(np.full((6, r.shape[1], 3), 255, np.uint8))
     if img_rows:
-        write_png(
-            os.path.join(OUT, "oracle_grid.png"),
-            np.concatenate(img_rows[:-1], axis=0),
-        )
+        # atomic: write to a temp file and os.replace() it, so a wall-budget
+        # kill mid-write can't corrupt the committed montage (ADVICE r4)
+        png_path = os.path.join(OUT, "oracle_grid.png")
+        write_png(png_path + ".tmp", np.concatenate(img_rows[:-1], axis=0))
+        os.replace(png_path + ".tmp", png_path)
     # aggregate verdict: the engine==oracle claim must hold on EVERY patch;
     # the golden residual should track golden_vs_engine on worst patches
     # and vanish on controls
@@ -185,8 +186,10 @@ def flush_outputs(rows, table, total):
             "golden_vs_engine_full_mean", "control"),
         layout="cols: golden | engine(full cfg) | engine(cheap cfg) | oracle(cheap cfg)",
     )
-    json.dump(dict(summary=agg, patches=table),
-              open(os.path.join(OUT, "oracle_grid.json"), "w"), indent=1)
+    json_path = os.path.join(OUT, "oracle_grid.json")
+    with open(json_path + ".tmp", "w") as fh:
+        json.dump(dict(summary=agg, patches=table), fh, indent=1)
+    os.replace(json_path + ".tmp", json_path)
     return agg
 
 

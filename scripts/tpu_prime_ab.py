@@ -22,7 +22,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# same repo-local persistent cache as bench.py (/tmp is wiped between
+# driver rounds; the workspace survives — ADVICE r4)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        ),
+    ),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
@@ -89,6 +100,7 @@ def make(flag: bool):
 
 
 res = {}
+_orig_prime = PK.PRIME_GATE  # restore the SHIPPED value, not True (ADVICE r4)
 try:
     f_on, out_on = make(True)
     f_off, out_off = make(False)
@@ -106,7 +118,7 @@ try:
             ts.append((time.monotonic() - t0) * 1e3)
         res[name] = ts
 finally:
-    PK.PRIME_GATE = True
+    PK.PRIME_GATE = _orig_prime
 
 for name, ts in res.items():
     arr = np.array(ts)
