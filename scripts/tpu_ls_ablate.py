@@ -5,7 +5,10 @@ spheres / triangles / shading / transcendentals disabled one at a time."""
 import os, sys, time, functools
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache")))
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
