@@ -17,9 +17,12 @@ from hslu_i.ba_raytracing.f2501_raytracer_tpu.scene.builder import Scene
 W0, H0 = 1920, 1080
 cfg = RenderConfig(width=W0, height=H0, reflections=True, refractions=True,
                    scene_backface_culling=True, weight_cutoff=1e-3, use_pallas=True,
-                   max_nodes=48, loop_chunk=128, tile_rays=131072,
+                   max_nodes=48,
+                   loop_chunk=int(__import__('os').environ.get('PROF_CHUNK', 128)),
+                   tile_rays=131072,
                    triangle_block=int(__import__('os').environ.get('PROF_B', 64)),
                    resort_secondary=__import__('os').environ.get('PROF_RESORT') == '1',
+                   commit_splits=int(__import__('os').environ.get('PROF_SPLITS', 1)),
                    compaction_ratio=int(__import__('os').environ.get('PROF_RATIO', 64)))
 scene = build("semesterbild", cfg)
 scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
@@ -30,7 +33,8 @@ px, py = px.reshape(-1)[order], py.reshape(-1)[order]
 coords = pixel_scene_coords(cfg, px, py)
 dirs = (coords - np.asarray(cfg.camera.render_ray_focus, np.float32)).astype(np.float32)
 R = 131072
-sl = slice(4*R, 5*R)  # a middle tile
+PROF_TILE = int(os.environ.get('PROF_TILE', 4))
+sl = slice(PROF_TILE*R, (PROF_TILE+1)*R)  # default: a middle tile
 o, d = jnp.asarray(coords[sl]), jnp.asarray(dirs[sl])
 out = trace_rays(ds, cfg, o, d); jax.block_until_ready(out)
 t0=time.monotonic(); out = trace_rays(ds, cfg, o, d); jax.block_until_ready(out)
