@@ -228,7 +228,14 @@ def main():
         # instances at the same pair work; scripts/tpu_sweep_r3.py round 3:
         # 61.3 vs 68.3 ms/131k-tile, bit-identical image)
         kernel_ray_tile=int(os.environ.get("BENCH_RAY_TILE", 512)),
-        loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 128)),
+        # 96 (was 128): the per-chunk contribution commit scatters
+        # chunk*W rows whether or not the tile executed them; the r5 tile
+        # census (docs/tile_census_r5.json) puts frame commit slots at
+        # 2944 (chunk=128) vs 2496 (chunk=96) with per-commit fixed cost
+        # ~0.26 ms -> ~10 ms device/frame saved by the slot model
+        # (fusion.47 device events: 2.96 ms @128, 1.70 @96 on a 66-iter
+        # tile)
+        loop_chunk=int(os.environ.get("BENCH_LOOP_CHUNK", 96)),
         # 0 = auto: the library resolves the measured-optimum block size per
         # regime (scene/device.py::_resolve_block — hq-mesh 256, plain 64 at
         # >=1e6-pixel frames, else 512; sweeps in PERF.md). The old

@@ -1153,7 +1153,18 @@ PRIME_GATE = os.environ.get("RT_PRIME_GATE", "0") != "0"
 # order) or saturate the lane's opq (whose downstream sums are then
 # discarded by can_reach); opq itself is a max — order-free. Gated by
 # tests/test_sort_gate.py at kernel shapes.
-SORT_GATE = os.environ.get("RT_SORT_GATE", "1") != "0"
+#
+# DEFAULT OFF — measured NEGATIVE on the representative extreme tile
+# (scripts/tpu_sortgate_ab.py, 131k mid-frame rays, 97.3% hit, 140
+# lights, B=256/RT=512, interleaved paired rounds): +29.4 ms median
+# (+5.3%), all 5 rounds positive. Same block-granularity wall as
+# PRIME_GATE: a block still executes if ANY of its 512 crossing lanes is
+# unsaturated, so early saturation rarely empties a whole crossing set,
+# while the permuted block order breaks the sequential pack access
+# pattern (~5% overhead even with zero selection work). Per-lane
+# two-pass resolution would need per-lane DMA/compute divergence the VPU
+# does not offer. RT_SORT_GATE=1 re-enables for experiments.
+SORT_GATE = os.environ.get("RT_SORT_GATE", "0") != "0"
 
 
 def _chunk_block_order(light_pack, tri_blk_aabb, n_lights, nb_trans):
