@@ -244,11 +244,18 @@ def main():
         triangle_block=int(os.environ.get("BENCH_TRI_BLOCK", 0)),
         # cap tiles per launched program (heavy configs can outlive the
         # relay worker watchdog ~4 min in a single program; see PERF.md).
-        # extreme defaults to 4-tile chunks — at full res one unchunked
-        # program is a guaranteed worker kill, and even 480x270 with the
-        # reference-default AA features runs minutes per program
+        # extreme at FULL RES keeps 4-tile chunks (one unchunked program is
+        # a guaranteed worker kill); at the default 480x270 the overlap
+        # path's programs are ~3 s each, and the overlapped/tapered
+        # async-fetch pipeline measured 26.83 s vs 29.18 s at TPP=4
+        # (same-session interleaved, bit-identical — r5,
+        # scripts/tpu_extreme_tpp_ab.py)
         tiles_per_program=int(
-            os.environ.get("BENCH_TPP", 4 if config_name == "extreme" else 0)
+            os.environ.get(
+                "BENCH_TPP",
+                4 if config_name == "extreme" and width * height >= 10**6
+                else 0,
+            )
         ),
         # multi-chip: shard the frame's tile axis over N devices (needs N
         # attached chips; validated on the 8-way virtual CPU mesh in tests)
