@@ -66,6 +66,23 @@ SLOW_TESTS = {
     "test_renderer_warns_on_drops",
     "test_renderer_quiet_at_default_capacity",
     "test_mesh_wall_pipeline_bit_identical",
+    # r5 re-tier (VERDICT r4 item 8: smoke <3 min on this box): the
+    # slowest smoke tests move to the nightly tier; each keeps a faster
+    # smoke-tier sibling covering the same subsystem (sort-gate:
+    # single-chunk + order-permutation tests stay; prime: covered by the
+    # sort-gate single-chunk path + opq/lane exactness; compaction/dedupe/
+    # packet/soft-shadow parity: the small interpret + realistic parity
+    # gates stay)
+    "test_sort_gate_is_exact_multichunk",
+    "test_prime_gate_is_exact",
+    "test_compaction_matches_full",
+    "test_dedupe_aa_matches_full_expansion",
+    "test_bench_json_contract_realistic",
+    "test_homogeneous_packets_match_per_ray",
+    "test_parity_soft_shadows",
+    "test_auto_sized_pool_reports_zero_drops_through_u32_path",
+    "test_occlude_stream_mixed_trans_blocks",
+    "test_undersized_pool_reports_drops_through_u32_path",
 }
 
 
