@@ -189,6 +189,13 @@ class RenderConfig:
     # unique-declared scatter into a 2x buffer). See ops/trace.py
     # _pool_append and the A/B in scripts/tpu_stage_ab.py.
     stage_mode: str = "scatter"
+    # packed pool-row kernel epilogue (round 5): on the fused-eligible
+    # pool path the shade+eval kernel writes each child's (T, 16)
+    # POOL_COLS staging rows directly (pallas_shade_eval_rows), removing
+    # the per-field transposes + _pack_entry concats between the kernel
+    # and the staging scatter. Bit-identical to the unpacked path
+    # (tests/test_packed_rows.py); False restores the per-field outputs.
+    packed_stage: bool = True
     # split the per-chunk contribution commit into this many cond-gated
     # segment scatter-adds: the staging buffer is sized for the full
     # loop_chunk but typical tiles execute only a prefix of it, and

@@ -1860,16 +1860,33 @@ def _shade_eval_kernel(
     *args,
     n_lights, nb, nb_trans, eps_dist, backface_culling, use_aabb,
     bigtri_trans_rows, reflections, refractions, refl_max, refr_max,
-    weight_cutoff, air, sorted_gate=False,
+    weight_cutoff, air, sorted_gate=False, packed_rows=False,
 ):
     order_ref = args[0] if sorted_gate else None
-    (pt_ref, nrm_ref, view_ref, col_ref, shin_ref, valid_r_ref,
-     t_ref, w_ref, rior_ref, budget_ref, frefl_ref,
-     httr_r_ref, met_r_ref, hior_r_ref, opac_r_ref, boost_r_ref,
-     contrib_out,
-     rfl_o_out, rfl_d_out, rfl_w_out, rfl_b_out, rfl_m_out,
-     rfr_o_out, rfr_d_out, rfr_w_out, rfr_b_out, rfr_i_out, rfr_m_out,
-     ) = args[1:] if sorted_gate else args
+    args = args[1:] if sorted_gate else args
+    if packed_rows:
+        # packed pool-row epilogue (round 5): the kernel writes the
+        # (16, RT) POOL_COLS staging rows for each child directly —
+        # [o|d|w|ior|budget|from_refl|pix|pad] (ops/trace.py layout) —
+        # replacing the XLA-side per-field transposes + _pack_entry
+        # concats between the kernel and the staging scatter
+        (pt_ref, nrm_ref, view_ref, col_ref, shin_ref, valid_r_ref,
+         t_ref, w_ref, rior_ref, budget_ref, frefl_ref,
+         httr_r_ref, met_r_ref, hior_r_ref, opac_r_ref, boost_r_ref,
+         pix_ref,
+         contrib_out,
+         rows_rfl_out, rfl_m_out, rows_rfr_out, rfr_m_out,
+         ) = args
+        rfl_o_out = rfl_d_out = rfl_w_out = rfl_b_out = None
+        rfr_o_out = rfr_d_out = rfr_w_out = rfr_b_out = rfr_i_out = None
+    else:
+        (pt_ref, nrm_ref, view_ref, col_ref, shin_ref, valid_r_ref,
+         t_ref, w_ref, rior_ref, budget_ref, frefl_ref,
+         httr_r_ref, met_r_ref, hior_r_ref, opac_r_ref, boost_r_ref,
+         contrib_out,
+         rfl_o_out, rfl_d_out, rfl_w_out, rfl_b_out, rfl_m_out,
+         rfr_o_out, rfr_d_out, rfr_w_out, rfr_b_out, rfr_i_out, rfr_m_out,
+         ) = args
     """Fused shading + shading-tree node evaluation: the light scan plus
     everything `ops/trace.py:_eval_node` computes after it — distance
     attenuation, the transmissive combine rule, and the reflection /
@@ -1979,13 +1996,30 @@ def _shade_eval_kernel(
         mask = hval & reflective & (child_b > 0)
         if weight_cutoff > 0.0:
             mask &= jnp.maximum(rwr, jnp.maximum(rwg, rwb)) > weight_cutoff
-        rfl_o_out[:] = jnp.stack([
-            ptx + rdx * eps_dist, pty + rdy * eps_dist, ptz + rdz * eps_dist
-        ])
-        rfl_d_out[:] = jnp.stack([rdx, rdy, rdz])
-        rfl_w_out[:] = jnp.stack([rwr, rwg, rwb])
-        rfl_b_out[:] = child_b[None, :]
+        if packed_rows:
+            rows_rfl_out[:] = jnp.stack([
+                ptx + rdx * eps_dist, pty + rdy * eps_dist,
+                ptz + rdz * eps_dist,
+                rdx, rdy, rdz,
+                rwr, rwg, rwb,
+                rior,  # reflection keeps the current medium (rs:703)
+                child_b.astype(jnp.float32),
+                jnp.ones_like(rior),  # from_refl
+                pix_ref[0],
+                zf, zf, zf,
+            ])
+        else:
+            rfl_o_out[:] = jnp.stack([
+                ptx + rdx * eps_dist, pty + rdy * eps_dist,
+                ptz + rdz * eps_dist
+            ])
+            rfl_d_out[:] = jnp.stack([rdx, rdy, rdz])
+            rfl_w_out[:] = jnp.stack([rwr, rwg, rwb])
+            rfl_b_out[:] = child_b[None, :]
         rfl_m_out[:] = jnp.where(mask, 1.0, 0.0)[None, :]
+    elif packed_rows:
+        rows_rfl_out[:] = jnp.zeros_like(rows_rfl_out)
+        rfl_m_out[:] = zf[None, :]
     else:
         rfl_o_out[:] = jnp.stack([zf, zf, zf])
         rfl_d_out[:] = jnp.stack([zf, zf, zf])
@@ -2035,14 +2069,31 @@ def _shade_eval_kernel(
         mask2 = hval & httr_r & (child_b2 > 0) & k_pos
         if weight_cutoff > 0.0:
             mask2 &= jnp.maximum(twr, jnp.maximum(twg, twb)) > weight_cutoff
-        rfr_o_out[:] = jnp.stack([
-            ptx + tdx * eps_dist, pty + tdy * eps_dist, ptz + tdz * eps_dist
-        ])
-        rfr_d_out[:] = jnp.stack([tdx, tdy, tdz])
-        rfr_w_out[:] = jnp.stack([twr, twg, twb])
-        rfr_b_out[:] = child_b2[None, :]
-        rfr_i_out[:] = new_ior2[None, :]
+        if packed_rows:
+            rows_rfr_out[:] = jnp.stack([
+                ptx + tdx * eps_dist, pty + tdy * eps_dist,
+                ptz + tdz * eps_dist,
+                tdx, tdy, tdz,
+                twr, twg, twb,
+                new_ior2,  # entering the new medium (rs:497)
+                child_b2.astype(jnp.float32),
+                zf,  # from_refl
+                pix_ref[0],
+                zf, zf, zf,
+            ])
+        else:
+            rfr_o_out[:] = jnp.stack([
+                ptx + tdx * eps_dist, pty + tdy * eps_dist,
+                ptz + tdz * eps_dist
+            ])
+            rfr_d_out[:] = jnp.stack([tdx, tdy, tdz])
+            rfr_w_out[:] = jnp.stack([twr, twg, twb])
+            rfr_b_out[:] = child_b2[None, :]
+            rfr_i_out[:] = new_ior2[None, :]
         rfr_m_out[:] = jnp.where(mask2, 1.0, 0.0)[None, :]
+    elif packed_rows:
+        rows_rfr_out[:] = jnp.zeros_like(rows_rfr_out)
+        rfr_m_out[:] = zf[None, :]
     else:
         rfr_o_out[:] = jnp.stack([zf, zf, zf])
         rfr_d_out[:] = jnp.stack([zf, zf, zf])
@@ -2184,6 +2235,126 @@ def pallas_shade_eval(
              mask=rfl_m[0] > 0.0),
         dict(o=rfr_o.T, d=rfr_d.T, w=rfr_w.T, budget=rfr_b[0],
              ior=rfr_i[0], mask=rfr_m[0] > 0.0),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_lights", "n_trans_blocks", "eps_dist", "backface_culling",
+        "ray_tile", "use_aabb", "interpret", "bigtri_trans_rows",
+        "reflections", "refractions", "refl_max", "refr_max", "weight_cutoff",
+        "air",
+    ),
+)
+def pallas_shade_eval_rows(
+    light_pack, sph_pack, trb_pack, tri_blk_pack, tri_blk_aabb,
+    point, normal, view, color, shininess, valid,
+    t, w, rior, budget, from_refl, h_httr, h_met, h_ior, h_opac, h_boost,
+    pix,
+    n_lights, eps_dist, n_trans_blocks=0, backface_culling=False,
+    ray_tile=256, use_aabb=True,
+    interpret=False, bigtri_trans_rows=8,
+    reflections=True, refractions=True, refl_max=5, refr_max=10,
+    weight_cutoff=0.0, air=1.000293,
+):
+    """`pallas_shade_eval` with the PACKED pool-row epilogue (round 5):
+    the kernel writes each child's (16, R) POOL_COLS staging rows
+    (ops/trace.py layout: o|d|w|ior|budget|from_refl|pix|pad) directly,
+    replacing the per-field transposes and `_pack_entry` concats between
+    the kernel and the staging scatter. `pix` is the (R,) int32 pixel
+    index of each ray. Row VALUES are bit-identical to the _pack_entry
+    construction (same f32 ops on the same kernel locals —
+    tests/test_packed_rows.py).
+
+    Returns (contrib (R,3), rfl_rows (R,16), rfl_mask (R,) bool,
+             rfr_rows (R,16), rfr_mask (R,) bool); rows/masks for a
+    disabled child are zeros/False."""
+    R = point.shape[0]
+    nb, B, _ = tri_blk_pack.shape
+    assert R % ray_tile == 0, (R, ray_tile)
+    L_pad = light_pack.shape[0]
+
+    def full(s):
+        return pl.BlockSpec(s, lambda i: tuple(0 for _ in s), memory_space=pltpu.VMEM)
+
+    def smem(s):
+        return pl.BlockSpec(s, lambda i: tuple(0 for _ in s), memory_space=pltpu.SMEM)
+
+    def rayt(s):
+        return pl.BlockSpec(s, lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    sorted_gate = (
+        SORT_GATE and use_aabb and LANE_GATE and n_trans_blocks < nb
+        and nb > 1
+    )
+    order_args, order_specs = (), ()
+    if sorted_gate:
+        order = _chunk_block_order(
+            light_pack, tri_blk_aabb, n_lights, n_trans_blocks
+        )
+        order_args = (order,)
+        order_specs = (smem(order.shape),)
+    outs = pl.pallas_call(
+        functools.partial(
+            _shade_eval_kernel,
+            n_lights=n_lights,
+            nb=nb,
+            nb_trans=n_trans_blocks,
+            eps_dist=eps_dist,
+            backface_culling=backface_culling,
+            use_aabb=use_aabb,
+            bigtri_trans_rows=bigtri_trans_rows,
+            reflections=reflections,
+            refractions=refractions,
+            refl_max=refl_max,
+            refr_max=refr_max,
+            weight_cutoff=weight_cutoff,
+            air=air,
+            sorted_gate=sorted_gate,
+            packed_rows=True,
+        ),
+        grid=(R // ray_tile,),
+        in_specs=[
+            full((L_pad, 8)),
+            full(sph_pack.shape),
+            full(trb_pack.shape),
+            full((nb, B, 32)),
+            full(tri_blk_aabb.shape),
+            *order_specs,
+            *([rayt((3, ray_tile))] * 4),
+            *([rayt((1, ray_tile))] * 3),
+            rayt((3, ray_tile)),
+            *([rayt((1, ray_tile))] * 9),
+        ],
+        out_specs=[
+            rayt((3, ray_tile)),
+            rayt((16, ray_tile)), rayt((1, ray_tile)),
+            rayt((16, ray_tile)), rayt((1, ray_tile)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, R), jnp.float32),
+            jax.ShapeDtypeStruct((16, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((16, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_vmem_params(ray_tile),
+    )(
+        light_pack, sph_pack, trb_pack, tri_blk_pack, tri_blk_aabb,
+        *order_args,
+        point.T, normal.T, view.T, color.T, shininess[None, :], valid[None, :],
+        t[None, :], w.T, rior[None, :], budget[None, :], from_refl[None, :],
+        h_httr[None, :], h_met[None, :], h_ior[None, :], h_opac[None, :],
+        h_boost[None, :],
+        pix.astype(jnp.float32)[None, :],
+    )
+    contrib, rfl_rows, rfl_m, rfr_rows, rfr_m = outs
+    return (
+        contrib.T,
+        rfl_rows.T, rfl_m[0] > 0.0,
+        rfr_rows.T, rfr_m[0] > 0.0,
     )
 
 

@@ -219,6 +219,78 @@ def _eval_node(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight, budget, fr
     return contrib, hval, refl_push, refr_push
 
 
+def _eval_node_rows(scene, cfg: RenderConfig, eps_dist, o, d, ior, weight,
+                    budget, from_refl, active, pix, rt=0):
+    """`_eval_node` with the PACKED pool-row epilogue (round 5): the fused
+    kernel writes each child's (T, 16) POOL_COLS staging rows directly
+    (pallas_shade_eval_rows), so the XLA glue between the kernel and the
+    staging scatter shrinks to one transpose — no per-field transposes, no
+    `_pack_entry` concat. Row values are bit-identical to the
+    _pack_entry construction (tests/test_packed_rows.py).
+
+    Only callable on the fused-eligible path (use_pallas, non-packet,
+    resident scene, refl|refr). Returns (contrib, hval, rows (k*T, 16),
+    masks (k*T,)) with children in the pool-append order [refr, refl]
+    (k = number of enabled child types)."""
+    from .intersect import _pad_rays
+    from .pallas_kernels import pallas_shade_eval_rows
+
+    rt = int(rt) or int(cfg.kernel_ray_tile)
+    R = d.shape[0]
+    o = jnp.where(active[:, None], o, jnp.float32(1e9))
+    d = jnp.where(active[:, None], d, jnp.float32([0.0, 0.0, 1.0])[None, :])
+    hit = cast_rays(
+        scene, o, d, cfg.backface_culling, bool(cfg.use_pallas), cfg.interpret,
+        rt,
+    )
+    hval = hit.valid & active
+    hit = dataclasses.replace(
+        hit,
+        valid=hval,
+        point=jnp.where(hval[:, None], hit.point, jnp.float32(1e9)),
+    )
+    args, _ = _pad_rays(
+        (
+            hit.point, hit.normal, d, hit.color, hit.shininess,
+            hval.astype(jnp.float32), hit.t, weight, ior,
+            budget.astype(jnp.int32), from_refl.astype(jnp.float32),
+            hit.has_trans.astype(jnp.float32), hit.metallic, hit.ior,
+            hit.opacity, hit.boost, pix.astype(jnp.int32),
+        ),
+        rt,
+    )
+    contrib, rfl_rows, rfl_m, rfr_rows, rfr_m = pallas_shade_eval_rows(
+        scene.light_pack, scene.sph_pack, scene.trb_pack,
+        scene.tri_blk_pack, scene.tri_blk_aabb,
+        *args,
+        n_lights=scene.n_lights,
+        eps_dist=float(eps_dist),
+        n_trans_blocks=scene.n_trans_blocks,
+        backface_culling=cfg.backface_culling,
+        ray_tile=rt,
+        interpret=cfg.interpret,
+        bigtri_trans_rows=scene.bigtri_trans_rows,
+        reflections=cfg.reflections,
+        refractions=cfg.refractions,
+        refl_max=int(cfg.reflection_max_depth),
+        refr_max=int(cfg.refraction_max_depth),
+        weight_cutoff=float(cfg.weight_cutoff),
+        air=float(DEFAULT_REFRACTION_INDEX),
+    )
+    rows, masks = [], []
+    if cfg.refractions:  # pool-append order: refr first (matches the
+        rows.append(rfr_rows[:R])  # (refr_push, refl_push) cands order)
+        masks.append(rfr_m[:R])
+    if cfg.reflections:
+        rows.append(rfl_rows[:R])
+        masks.append(rfl_m[:R])
+    return (
+        contrib[:R], hval,
+        jnp.concatenate(rows, axis=0),
+        jnp.concatenate(masks, axis=0),
+    )
+
+
 def _eval_node_fused(scene, cfg, eps_dist, hit, d, ior, weight, budget, from_refl, hval, rt=0):
     """_eval_node's lighting + children math via the fused Pallas kernel
     (pallas_shade_eval); semantics mirror the XLA path line for line."""
@@ -501,11 +573,28 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions,
     eps_dist = float(cfg.camera.epsilon_distance)
     d0 = normalized(directions)
 
-    # primary node: budget None (-1), weight 1, current medium = air
-    contrib, top_valid, refl_push, refr_push = _eval_node(
-        scene,
-        cfg,
-        eps_dist,
+    def ret(accum, valid, dropped):
+        if with_stats:
+            return accum, valid, {"dropped": dropped}
+        return accum, valid
+
+    ratio = max(int(cfg.compaction_ratio), 1)
+    # >=: a tile of exactly rt*ratio rays (e.g. 8192 at ratio 32) must also
+    # take the pool path — the full-width stack path re-evaluates the whole
+    # wavefront per pop and is ~ratio x slower; on the remote relay that can
+    # stretch one program past the worker watchdog (see PERF.md)
+    pool_path = (
+        (cfg.reflections or cfg.refractions)
+        and ratio > 1 and R >= cfg.kernel_ray_tile * ratio
+    )
+    # packed pool-row epilogue: the fused kernel writes staging rows
+    # directly (bit-identical; cfg.packed_stage)
+    rows_mode = (
+        pool_path and cfg.packed_stage and cfg.use_pallas
+        and not cfg.packet_mode and not scene.streaming
+    )
+
+    prim_args = (
         origins,
         d0,
         jnp.full((R,), AIR),
@@ -514,21 +603,26 @@ def trace_rays(scene: DeviceScene, cfg: RenderConfig, origins, directions,
         jnp.zeros((R,), bool),
         jnp.ones((R,), bool),
     )
+    if rows_mode:
+        contrib, top_valid, rows0, masks0 = _eval_node_rows(
+            scene, cfg, eps_dist, *prim_args,
+            pix=jnp.arange(R, dtype=jnp.int32),
+        )
+        accum, dropped = _run_pool(
+            scene, cfg, eps_dist, R, contrib, None, None,
+            rows0=rows0, masks0=masks0,
+        )
+        return ret(accum, top_valid, dropped)
 
-    def ret(accum, valid, dropped):
-        if with_stats:
-            return accum, valid, {"dropped": dropped}
-        return accum, valid
+    # primary node: budget None (-1), weight 1, current medium = air
+    contrib, top_valid, refl_push, refr_push = _eval_node(
+        scene, cfg, eps_dist, *prim_args,
+    )
 
     if not (cfg.reflections or cfg.refractions):
         return ret(contrib, top_valid, jnp.int32(0))
 
-    ratio = max(int(cfg.compaction_ratio), 1)
-    # >=: a tile of exactly rt*ratio rays (e.g. 8192 at ratio 32) must also
-    # take the pool path — the full-width stack path re-evaluates the whole
-    # wavefront per pop and is ~ratio x slower; on the remote relay that can
-    # stretch one program past the worker watchdog (see PERF.md)
-    if ratio > 1 and R >= cfg.kernel_ray_tile * ratio:
+    if pool_path:
         accum, dropped = _run_pool(
             scene, cfg, eps_dist, R, contrib, refr_push, refl_push
         )
@@ -664,12 +758,19 @@ def _pool_append(pool, count, cands, masks, Q, mode="scatter"):
     return pool, count + n_push
 
 
-def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
+def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push,
+              rows0=None, masks0=None):
     """Compacted wavefront with a dense ray pool: pending rays are stored
     contiguously, so every iteration's cost scales with the service width W,
     not the wavefront size R. Exact: contributions carry path weights, so
     evaluation order is free. Returns (accum, dropped).
+
+    `rows0`/`masks0` (packed-stage mode, cfg.packed_stage): the prologue's
+    candidate rows arrive PRE-PACKED from the kernel epilogue
+    (_eval_node_rows) instead of as push dicts, and the service loop uses
+    the same packed evaluation. Bit-identical to the push-dict path.
     """
+    rows_mode = rows0 is not None
     ratio = max(int(cfg.compaction_ratio), 1)
     rt = int(cfg.kernel_ray_tile)
     W = max((R // ratio) // rt * rt, rt)
@@ -699,12 +800,15 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
     pool = jnp.zeros((Q, POOL_COLS), jnp.float32)
     pix = jnp.arange(R, dtype=jnp.int32)
     count = jnp.int32(0)
-    cands, masks = [], []
-    for p in (refr_push, refl_push):
-        if p is None:
-            continue
-        cands.append(_pack_entry(p, pix))
-        masks.append(p["mask"])
+    if rows_mode:
+        cands, masks = [rows0], [masks0]
+    else:
+        cands, masks = [], []
+        for p in (refr_push, refl_push):
+            if p is None:
+                continue
+            cands.append(_pack_entry(p, pix))
+            masks.append(p["mask"])
     if cands:
         pool, count = _pool_append(
             pool, count, cands, masks, Q, mode=cfg.stage_mode
@@ -753,10 +857,18 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
             rows = jnp.take(rows, order, axis=0)
             sel_active = jnp.take(sel_active, order)
         e = _unpack_entry(rows)
-        contrib_w, _, refl_p, refr_p = _eval_node(
-            scene, cfg, eps_dist, e["o"], e["d"], e["ior"], e["w"], e["budget"],
-            e["from_refl"], sel_active, rt=int(cfg.pool_ray_tile),
-        )
+        if rows_mode:
+            contrib_w, _, rows_b, masks_b = _eval_node_rows(
+                scene, cfg, eps_dist, e["o"], e["d"], e["ior"], e["w"],
+                e["budget"], e["from_refl"], sel_active, pix=e["pix"],
+                rt=int(cfg.pool_ray_tile),
+            )
+        else:
+            contrib_w, _, refl_p, refr_p = _eval_node(
+                scene, cfg, eps_dist, e["o"], e["d"], e["ior"], e["w"],
+                e["budget"], e["from_refl"], sel_active,
+                rt=int(cfg.pool_ray_tile),
+            )
         s = dict(s)
         s["stage_pix"] = jax.lax.dynamic_update_slice_in_dim(
             s["stage_pix"],
@@ -776,12 +888,17 @@ def _run_pool(scene, cfg, eps_dist, R, contrib, refr_push, refl_push):
         capped = jnp.minimum(start, Q_cap - 2 * W)
         s["dropped"] = s["dropped"] + (start - capped)
         count = capped
-        cands, masks = [], []
-        for p in (refr_p, refl_p):
-            if p is None:
-                continue
-            cands.append(_pack_entry(p, e["pix"]))
-            masks.append(p["mask"] & sel_active)
+        if rows_mode:
+            k = masks_b.shape[0] // W  # enabled child types (1 or 2)
+            cands = [rows_b]
+            masks = [masks_b & jnp.tile(sel_active, k)]
+        else:
+            cands, masks = [], []
+            for p in (refr_p, refl_p):
+                if p is None:
+                    continue
+                cands.append(_pack_entry(p, e["pix"]))
+                masks.append(p["mask"] & sel_active)
         if cands:
             pool2, count = _pool_append(
                 s["pool"], count, cands, masks, Q, mode=cfg.stage_mode

@@ -23,6 +23,7 @@ cfg = RenderConfig(width=W0, height=H0, reflections=True, refractions=True,
                    triangle_block=int(__import__('os').environ.get('PROF_B', 64)),
                    resort_secondary=__import__('os').environ.get('PROF_RESORT') == '1',
                    commit_splits=int(__import__('os').environ.get('PROF_SPLITS', 1)),
+                   packed_stage=__import__('os').environ.get('PROF_PACKED', '1') == '1',
                    compaction_ratio=int(__import__('os').environ.get('PROF_RATIO', 64)))
 scene = build("semesterbild", cfg)
 scene = Scene.backface_culling(scene, np.array([0.0, 0.0, 1.0]))
