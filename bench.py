@@ -77,7 +77,11 @@ def multi_session():
     """
     import subprocess
 
-    n = int(os.environ.get("BENCH_SESSIONS", 3))
+    # 5 sessions (was 3): relay epochs swing 2x between sessions and the
+    # protocol records best-of — with warm compiles at ~20-60 s/session the
+    # BENCH_DEADLINE budget fits 4-6 sessions, and the adaptive stop below
+    # cuts back automatically when a cold/slow session eats the budget
+    n = int(os.environ.get("BENCH_SESSIONS", 5))
     # relay outages manifest as an indefinite hang on the first device op
     # (observed: >25 min dead relay); bound each session so the bench
     # always terminates with the best of whatever sessions succeeded
@@ -199,7 +203,7 @@ def main():
         dflt_w, dflt_h = 480, 270  # ~500 rays/pixel; full-res via BENCH_WIDTH
     width = int(os.environ.get("BENCH_WIDTH", dflt_w))
     height = int(os.environ.get("BENCH_HEIGHT", dflt_h))
-    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    repeats = int(os.environ.get("BENCH_REPEATS", 4))
 
     cfg = RenderConfig(
         width=width,
