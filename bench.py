@@ -175,6 +175,16 @@ def main():
     )
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # CRITICAL for the committed cache to hit from a fresh clone: by
+    # default jax injects the ABSOLUTE autotune-cache path
+    # (<cache_dir>/xla_gpu_per_fusion_autotune_cache_dir) into the compile
+    # options, and that path is hashed into the cache key
+    # (jax._src.cache_key does not clear it) — so keys silently depend on
+    # the checkout directory. Measured: identical code at /root/repo vs a
+    # fresh clone produced different keys and a full re-compile. The XLA
+    # side caches are GPU-only features; disabling them makes keys
+    # path-independent on TPU at zero cost.
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     import jax.numpy as jnp
 
     from hslu_i.ba_raytracing.f2501_raytracer_tpu import (
