@@ -175,16 +175,20 @@ def main():
     )
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    # CRITICAL for the committed cache to hit from a fresh clone: by
-    # default jax injects the ABSOLUTE autotune-cache path
-    # (<cache_dir>/xla_gpu_per_fusion_autotune_cache_dir) into the compile
-    # options, and that path is hashed into the cache key
-    # (jax._src.cache_key does not clear it) — so keys silently depend on
-    # the checkout directory. Measured: identical code at /root/repo vs a
-    # fresh clone produced different keys and a full re-compile. The XLA
-    # side caches are GPU-only features; disabling them makes keys
-    # path-independent on TPU at zero cost.
+    # CRITICAL for the committed cache to hit from a fresh clone — two
+    # sources of checkout-path dependence in the cache key, both measured
+    # (identical code at /root/repo vs a fresh clone produced different
+    # keys and a full recompile):
+    #  1. jax injects the ABSOLUTE autotune-cache path into the compile
+    #     options (jax._src.cache_key does not clear it). The XLA side
+    #     caches are GPU-only features; disable them.
+    #  2. the Mosaic kernel payloads (tpu_custom_call backend_config)
+    #     embed python source-file paths; MLIR strip-debuginfo cannot
+    #     reach inside the serialized kernel module. Canonicalizing every
+    #     source path to "" makes the lowered modules byte-identical
+    #     across checkouts (verified with two clones).
     jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    jax.config.update("jax_hlo_source_file_canonicalization_regex", ".*")
     import jax.numpy as jnp
 
     from hslu_i.ba_raytracing.f2501_raytracer_tpu import (
