@@ -83,6 +83,9 @@ SLOW_TESTS = {
     "test_auto_sized_pool_reports_zero_drops_through_u32_path",
     "test_occlude_stream_mixed_trans_blocks",
     "test_undersized_pool_reports_drops_through_u32_path",
+    # k=1 ordering edge of the packed-rows epilogue; the pool-path
+    # bit-identity gate stays in smoke
+    "test_packed_rows_bit_identical_single_child",
 }
 
 

@@ -41,10 +41,10 @@ def _trace(cfg, kw):
 
 
 def test_packed_rows_bit_identical_pool_path():
-    # 32x32 = 1024 rays >= kernel_ray_tile * ratio = 256*2 -> pool path
+    # 24x12 = 288 rays >= kernel_ray_tile * ratio = 128*2 -> pool path
     cfg = RenderConfig(
-        width=32, height=32, reflections=True, refractions=True,
-        use_pallas=True, interpret=True, kernel_ray_tile=256,
+        width=24, height=12, reflections=True, refractions=True,
+        use_pallas=True, interpret=True, kernel_ray_tile=128,
         compaction_ratio=2, loop_chunk=8, max_nodes=16,
     )
     c_on, v_on, d_on = _trace(cfg, dict(packed_stage=True))
@@ -59,8 +59,8 @@ def test_packed_rows_bit_identical_single_child():
     # reflections-only: the packed path must append ONE child type's rows
     # (k=1) in the same order as the push-dict path
     cfg = RenderConfig(
-        width=32, height=16, reflections=True, refractions=False,
-        use_pallas=True, interpret=True, kernel_ray_tile=256,
+        width=24, height=12, reflections=True, refractions=False,
+        use_pallas=True, interpret=True, kernel_ray_tile=128,
         compaction_ratio=2, loop_chunk=8, max_nodes=16,
     )
     c_on, v_on, _ = _trace(cfg, dict(packed_stage=True))
